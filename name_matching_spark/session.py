@@ -1,0 +1,72 @@
+"""SparkSession factory.
+
+Single place where all scale-relevant configs live. Local mode is used for
+tests/bench (`local[N]`), but every config is chosen so the same code runs
+unchanged on a multi-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting): block
+  keys in entity resolution are Zipf-skewed, so skew-join handling is not
+  optional at 100 TB.
+- Arrow on: all custom logic is pandas/Arrow UDFs; Arrow batch size is capped
+  so a quadratic pair batch stays in executor memory.
+- Deterministic session timezone (UTC) so DuckDB oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "name_matching_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the local core count — at cluster
+    scale this is overridden to ~2-3x total cores via ``extra_conf`` or
+    left to AQE coalescing.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; local[*] → cpu count
+        inner = master.split("[")[-1].rstrip("]")
+        if inner == "*" or not inner.isdigit():
+            shuffle_partitions = os.cpu_count() or 8
+        else:
+            shuffle_partitions = int(inner)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound Arrow batches: pair-scoring UDFs see ~10k rows/batch, keeping
+        # per-task Python memory flat even when a join output is huge.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
