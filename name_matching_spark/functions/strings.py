@@ -1,0 +1,211 @@
+"""Batch-vectorized string similarity kernels (numpy, no per-row Python).
+
+These back the pandas/Arrow UDF scorers. Each function takes two aligned
+sequences of strings (the two sides of a candidate-pair batch) and returns a
+float64 numpy array. The Jaro inner loop is vectorized across the *batch*
+dimension: the per-position scan runs O(Lmax) python iterations of O(B·Lmax)
+numpy work, so cost is independent of batch size in python-interpreter terms.
+
+Semantics parity targets:
+- ``jaro_distance``: R stringdist(method='jw', p=0) — *pure Jaro distance*
+  (reference calls it jw_distance but sets p=0: code/functions/match_names.R:482-483).
+- ``qgram_cosine_distance`` with q=1: R stringdist(method='cosine') default
+  q=1 — character-unigram cosine distance (used for
+  human_cosine_similarity = 1 - distance, match_names.R:446-450).
+- ``jaro_winkler_similarity``: standard Winkler prefix bonus (p=0.1, max
+  prefix 4) — an *additional* scorer channel beyond the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _encode(strings: np.ndarray, pad: int) -> tuple[np.ndarray, np.ndarray]:
+    """Encode an object array of strings into a (B, Lmax) int32 codepoint
+    matrix padded with ``pad``; returns (matrix, lengths)."""
+    n = len(strings)
+    lengths = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    lmax = int(lengths.max()) if n else 0
+    if lmax == 0:
+        return np.full((n, 1), pad, dtype=np.int32), lengths
+    mat = np.full((n, lmax), pad, dtype=np.int32)
+    # bulk decode: join with \0 and view as codepoints would lose alignment;
+    # per-string frombuffer on UTF-32 is allocation-light and C-speed.
+    for i, s in enumerate(strings):
+        if s:
+            mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    return mat, lengths
+
+
+def _as_str_array(xs) -> np.ndarray:
+    arr = np.asarray(xs, dtype=object)
+    out = np.empty(len(arr), dtype=object)
+    for i, v in enumerate(arr):
+        out[i] = "" if v is None or (isinstance(v, float) and np.isnan(v)) else str(v)
+    return out
+
+
+def jaro_similarity(a, b, chunk: int = 8192) -> np.ndarray:
+    """Vectorized Jaro similarity over paired string batches."""
+    a = _as_str_array(a)
+    b = _as_str_array(b)
+    n = len(a)
+    out = np.empty(n, dtype=np.float64)
+    for s in range(0, n, chunk):
+        out[s : s + chunk] = _jaro_chunk(a[s : s + chunk], b[s : s + chunk])
+    return out
+
+
+def _jaro_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    A, la = _encode(a, pad=-1)
+    B, lb = _encode(b, pad=-2)
+    La, Lb = A.shape[1], B.shape[1]
+
+    sim = np.zeros(n, dtype=np.float64)
+    both_empty = (la == 0) & (lb == 0)
+    sim[both_empty] = 1.0
+    active = ~both_empty & (la > 0) & (lb > 0)
+    if not active.any():
+        return sim
+
+    # match window: floor(max(la,lb)/2) - 1, clamped at 0
+    win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # (n,)
+    eq = A[:, :, None] == B[:, None, :]  # (n, La, Lb)
+    ii = np.arange(La)[:, None]
+    jj = np.arange(Lb)[None, :]
+    window_ok = np.abs(ii - jj)[None, :, :] <= win[:, None, None]
+    cand = eq & window_ok
+
+    used_b = np.zeros((n, Lb), dtype=bool)
+    match_a = np.zeros((n, La), dtype=bool)
+    a_to_j = np.zeros((n, La), dtype=np.int64)
+    rows = np.arange(n)
+    for i in range(La):
+        avail = cand[:, i, :] & ~used_b
+        has = avail.any(axis=1)
+        j = avail.argmax(axis=1)
+        used_b[rows[has], j[has]] = True
+        match_a[:, i] = has
+        a_to_j[:, i] = np.where(has, j, Lb)
+
+    m = match_a.sum(axis=1).astype(np.float64)
+    matched = m > 0
+
+    # transpositions: a-side matched chars in i order vs b-side matched chars
+    # in j order; scatter both into rank-indexed buffers.
+    mmax = int(m.max()) if matched.any() else 0
+    if mmax > 0:
+        a_rank = np.cumsum(match_a, axis=1) - 1  # rank of each matched i
+        b_rank = np.cumsum(used_b, axis=1) - 1
+        a_seq = np.full((n, mmax), -3, dtype=np.int32)
+        b_seq = np.full((n, mmax), -4, dtype=np.int32)
+        ai, aj = np.nonzero(match_a)
+        a_seq[ai, a_rank[ai, aj]] = A[ai, aj]
+        bi, bjj = np.nonzero(used_b)
+        b_seq[bi, b_rank[bi, bjj]] = B[bi, bjj]
+        in_range = np.arange(mmax)[None, :] < m[:, None]
+        mism = ((a_seq != b_seq) & in_range).sum(axis=1)
+        t = (mism // 2).astype(np.float64)
+    else:
+        t = np.zeros(n, dtype=np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = (
+            m / np.maximum(la, 1)
+            + m / np.maximum(lb, 1)
+            + np.where(matched, (m - t) / np.maximum(m, 1), 0.0)
+        ) / 3.0
+    sim[active & matched] = s[active & matched]
+    return sim
+
+
+def jaro_distance(a, b) -> np.ndarray:
+    """Pure Jaro distance = 1 - similarity (stringdist 'jw' with p=0)."""
+    return 1.0 - jaro_similarity(a, b)
+
+
+def jaro_winkler_similarity(a, b, p: float = 0.1, max_prefix: int = 4) -> np.ndarray:
+    a_arr = _as_str_array(a)
+    b_arr = _as_str_array(b)
+    sim = jaro_similarity(a_arr, b_arr)
+    # common-prefix length up to max_prefix, vectorized over the batch
+    prefix = np.zeros(len(a_arr), dtype=np.float64)
+    live = np.ones(len(a_arr), dtype=bool)
+    for k in range(max_prefix):
+        for i in np.nonzero(live)[0]:
+            sa, sb = a_arr[i], b_arr[i]
+            if k < len(sa) and k < len(sb) and sa[k] == sb[k]:
+                prefix[i] += 1
+            else:
+                live[i] = False
+        if not live.any():
+            break
+    return sim + prefix * p * (1.0 - sim)
+
+
+def qgram_cosine_distance(a, b, q: int = 1, chunk: int = 8192) -> np.ndarray:
+    """q-gram cosine distance (stringdist method='cosine', default q=1).
+
+    distance = 1 - cos(counts_a, counts_b) over q-gram count vectors.
+    Strings shorter than q (incl. empty) yield NaN like stringdist.
+    """
+    a = _as_str_array(a)
+    b = _as_str_array(b)
+    n = len(a)
+    out = np.empty(n, dtype=np.float64)
+    for s in range(0, n, chunk):
+        out[s : s + chunk] = _qgram_cosine_chunk(a[s : s + chunk], b[s : s + chunk], q)
+    return out
+
+
+def _qgram_codes(mat: np.ndarray, lengths: np.ndarray, q: int) -> np.ndarray:
+    """(B, L) codepoints → (B, L-q+1) int64 rolling q-gram codes; invalid
+    positions get unique negative sentinels per side via the pad values."""
+    B, L = mat.shape
+    if L < q:
+        return np.full((B, 1), -1, dtype=np.int64)
+    m = mat.astype(np.int64) + 2  # shift pads (-1/-2) to 1/0, chars ≥ 2
+    code = m[:, : L - q + 1].copy()
+    for k in range(1, q):
+        code = code * 1114112 + m[:, k : L - q + 1 + k]
+    # mask positions beyond len-q
+    pos = np.arange(L - q + 1)[None, :]
+    valid = pos <= (lengths[:, None] - q)
+    return np.where(valid, code, -1)
+
+
+def _qgram_cosine_chunk(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    A, la = _encode(a, pad=-1)
+    B, lb = _encode(b, pad=-2)
+    ca = _qgram_codes(A, la, q)
+    cb = _qgram_codes(B, lb, q)
+    # joint vocabulary over the chunk
+    allc = np.concatenate([ca.ravel(), cb.ravel()])
+    vocab, inv = np.unique(allc, return_inverse=True)
+    V = len(vocab)
+    inv_a = inv[: ca.size].reshape(ca.shape)
+    inv_b = inv[ca.size :].reshape(cb.shape)
+    rows = np.arange(n)
+    ha = np.zeros((n, V), dtype=np.float64)
+    hb = np.zeros((n, V), dtype=np.float64)
+    np.add.at(ha, (np.repeat(rows, ca.shape[1]), inv_a.ravel()), 1.0)
+    np.add.at(hb, (np.repeat(rows, cb.shape[1]), inv_b.ravel()), 1.0)
+    if (vocab == -1).any():
+        sent = np.nonzero(vocab == -1)[0][0]
+        ha[:, sent] = 0.0
+        hb[:, sent] = 0.0
+    dot = (ha * hb).sum(axis=1)
+    na = np.sqrt((ha * ha).sum(axis=1))
+    nb = np.sqrt((hb * hb).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dot / (na * nb)
+    out = 1.0 - cos
+    out[(na == 0) | (nb == 0)] = np.nan
+    return out

@@ -1,0 +1,134 @@
+"""String-kernel correctness: hand-known Jaro values + DuckDB as an oracle
+(jaro_similarity / jaro_winkler_similarity), plus unigram-cosine checks."""
+
+from __future__ import annotations
+
+import math
+import random
+import string
+
+import duckdb
+import numpy as np
+import pytest
+
+from name_matching_spark.functions.strings import (
+    jaro_distance,
+    jaro_similarity,
+    jaro_winkler_similarity,
+    qgram_cosine_distance,
+)
+
+
+KNOWN = [
+    ("MARTHA", "MARHTA", 0.944444444),
+    ("DIXON", "DICKSONX", 0.766666667),
+    ("JELLYFISH", "SMELLYFISH", 0.896296296),
+    ("ABC", "ABC", 1.0),
+    ("ABC", "XYZ", 0.0),
+    ("", "", 1.0),
+    ("A", "", 0.0),
+]
+
+
+def test_jaro_known_values():
+    a = [x for x, _, _ in KNOWN]
+    b = [y for _, y, _ in KNOWN]
+    got = jaro_similarity(a, b)
+    want = np.array([v for _, _, v in KNOWN])
+    assert np.allclose(got, want, atol=1e-8)
+
+
+def test_jaro_against_duckdb_random():
+    rng = random.Random(42)
+    alphabet = string.ascii_uppercase + " -"
+    pairs = []
+    for _ in range(500):
+        la = rng.randint(0, 24)
+        lb = rng.randint(0, 24)
+        a = "".join(rng.choice(alphabet) for _ in range(la))
+        b_mut = list(a)
+        for _ in range(rng.randint(0, 6)):
+            if b_mut and rng.random() < 0.5:
+                b_mut[rng.randrange(len(b_mut))] = rng.choice(alphabet)
+            else:
+                b_mut.insert(rng.randint(0, len(b_mut)), rng.choice(alphabet))
+        b = "".join(b_mut) if rng.random() < 0.7 else "".join(
+            rng.choice(alphabet) for _ in range(lb)
+        )
+        pairs.append((a, b))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    oracle = np.array(
+        [r[0] for r in con.execute("SELECT jaro_similarity(a, b) FROM p").fetchall()]
+    )
+    got = jaro_similarity([p[0] for p in pairs], [p[1] for p in pairs])
+    # duckdb returns 0.0 for one-empty and 1.0 for both-empty, same as us
+    assert np.allclose(got, oracle, atol=1e-9), np.abs(got - oracle).max()
+
+
+def test_jaro_winkler_against_duckdb():
+    pairs = [
+        ("MARTHA", "MARHTA"),
+        ("DWAYNE", "DUANE"),
+        ("DIXON", "DICKSONX"),
+        ("ACME OIL", "ACME OIL CO"),
+        ("SMITH", "SMYTH"),
+    ]
+    con = duckdb.connect()
+    oracle = np.array(
+        [
+            con.execute("SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+            for a, b in pairs
+        ]
+    )
+    got = jaro_winkler_similarity([a for a, _ in pairs], [b for _, b in pairs])
+    assert np.allclose(got, oracle, atol=1e-9)
+
+
+def test_jaro_symmetry():
+    rng = random.Random(7)
+    words = ["".join(rng.choice("ABCDE") for _ in range(rng.randint(1, 10))) for _ in range(200)]
+    a = words[:100]
+    b = words[100:]
+    assert np.allclose(jaro_similarity(a, b), jaro_similarity(b, a))
+
+
+def _cos1(a: str, b: str) -> float:
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    if not ca or not cb:
+        return math.nan
+    dot = sum(ca[k] * cb[k] for k in ca)
+    na = math.sqrt(sum(v * v for v in ca.values()))
+    nb = math.sqrt(sum(v * v for v in cb.values()))
+    return 1.0 - dot / (na * nb)
+
+
+def test_unigram_cosine_matches_bruteforce():
+    pairs = [
+        ("JOHN", "JON"),
+        ("ROBERT", "BOB"),
+        ("AAAB", "AB"),
+        ("XYZ", "XYZ"),
+        ("JAMES", "ZZZZ"),
+    ]
+    got = qgram_cosine_distance([a for a, _ in pairs], [b for _, b in pairs], q=1)
+    want = np.array([_cos1(a, b) for a, b in pairs])
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_unigram_cosine_empty_is_nan():
+    got = qgram_cosine_distance(["", "A"], ["A", ""], q=1)
+    assert np.isnan(got).all()
+
+
+def test_trigram_cosine_identical_zero():
+    got = qgram_cosine_distance(["HELLO WORLD"], ["HELLO WORLD"], q=3)
+    assert abs(got[0]) < 1e-12
+
+
+def test_jaro_distance_is_one_minus_similarity():
+    a, b = ["MARTHA"], ["MARHTA"]
+    assert np.allclose(jaro_distance(a, b), 1.0 - jaro_similarity(a, b))
