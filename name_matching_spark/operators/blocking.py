@@ -1,0 +1,219 @@
+"""Blocking: candidate-pair generation without O(n²).
+
+The reference enumerates every pair with nested loops
+(code/functions/match_names.R:468-490,533-552); here each matcher channel is
+an equi-join on an explicit blocking key:
+
+- shared-token inverted index (the reference's own implicit blocking key:
+  two names are compared by the shared-word matcher iff their cleaned token
+  bags intersect, match_names.R:500-524);
+- first surviving token;
+- double-metaphone of the first token (north-star phonetic channel);
+- MinHash-LSH band signatures over the token bag (north-star recall channel)
+  — computed entirely in Spark SQL with xxhash64 + higher-order aggregates,
+  no UDF.
+
+Skew: token frequencies are Zipf-distributed, so the inverted index has hot
+keys ("SMITH"). Two explicit mitigations, both logged (no silent caps):
+
+1. **hot-key cap**: block keys with more than ``max_block`` names are
+   excluded from the pair join and returned in a side DataFrame — the
+   distributed analogue of the reference dropping its 182 common words as
+   match evidence (match_names.R:36-63).
+2. AQE skew-join splitting handles residual imbalance inside the join
+   (enabled in session.py).
+
+For bounded *task* memory there is also ``split_oversized_blocks`` —
+cap-and-split with replicated boundary handling: a block of size B is cut
+into g = ⌈B/cap⌉ sub-groups and every unordered sub-group pair (gi ≤ gj)
+becomes its own task key, so all B·(B-1)/2 pairs are still produced but no
+single task sees more than ~cap² of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# A large Mersenne prime for MinHash universal hashing.
+_MERSENNE = (1 << 61) - 1
+
+
+def with_name_id(names: DataFrame, name_col: str = "name") -> DataFrame:
+    """Stable 64-bit id per name (xxhash64) — used for i<j upper-triangle
+    predicates without a global row_number (which would single-task)."""
+    return names.withColumn("_id", F.xxhash64(F.col(name_col)))
+
+
+def token_index(names: DataFrame, bag_col: str, name_col: str = "name") -> DataFrame:
+    """(name, token) inverted index, distinct."""
+    return (
+        names.select(name_col, F.explode(F.col(bag_col)).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+def hot_keys(index: DataFrame, key_col: str, max_block: int) -> DataFrame:
+    """Block keys exceeding the cap, with their sizes (for lineage logging)."""
+    return (
+        index.groupBy(key_col)
+        .agg(F.count("*").alias("block_size"))
+        .where(F.col("block_size") > max_block)
+    )
+
+
+def pairs_from_index(
+    index: DataFrame,
+    key_col: str,
+    name_col: str = "name",
+    max_block: int = 2000,
+) -> tuple[DataFrame, DataFrame]:
+    """Self-join the (name, key) index into canonical candidate pairs.
+
+    Returns (pairs(name, match, key), dropped_keys(key, block_size)).
+    Pairs are canonical: name < match alphabetically (reference utils.R:5-9).
+    """
+    dropped = hot_keys(index, key_col, max_block)
+    idx = index.join(F.broadcast(dropped.select(key_col)), key_col, "left_anti")
+    a = idx.select(F.col(key_col).alias("_k"), F.col(name_col).alias("_na"))
+    b = idx.select(F.col(key_col).alias("_k"), F.col(name_col).alias("_nb"))
+    pairs = (
+        a.join(b, "_k")
+        .where(F.col("_na") < F.col("_nb"))
+        .select(
+            F.col("_na").alias("name"),
+            F.col("_nb").alias("match"),
+            F.col("_k").alias(key_col),
+        )
+    )
+    return pairs, dropped
+
+
+def shared_word_pairs(
+    names: DataFrame,
+    bag_col: str,
+    name_col: str = "name",
+    max_block: int = 2000,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared-word matcher (reference match_names.R:500-524): canonical pairs
+    whose bags intersect, scored by the number of distinct shared tokens.
+
+    NOTE (documented deviation): the reference counts duplicate bag tokens
+    once per occurrence; we count distinct shared tokens. Bags are near
+    duplicate-free after normalization, and the value is only an RF feature.
+    """
+    idx = token_index(names, bag_col, name_col)
+    pairs, dropped = pairs_from_index(idx, "token", name_col, max_block)
+    scored = pairs.groupBy("name", "match").agg(
+        F.countDistinct("token").alias("shared_words")
+    )
+    return scored, dropped
+
+
+def first_token_key(names: DataFrame, bag_col: str, out: str = "block_key") -> DataFrame:
+    return names.withColumn(
+        out, F.element_at(F.col(bag_col), 1)
+    ).where(F.col(out).isNotNull() & (F.col(out) != ""))
+
+
+def minhash_band_keys(
+    names: DataFrame,
+    bag_col: str,
+    name_col: str = "name",
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH band keys, pure Spark SQL.
+
+    signature[i] = min over tokens of ((a_i * xxhash64(token) + b_i) mod p);
+    the signature is sliced into ``bands`` bands of num_hashes/bands rows,
+    each band hashed into one block key: (name, band_key) rows out.
+
+    Names with identical band keys in any band become candidates — Jaccard-
+    similar token bags collide with high probability (standard LSH banding).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    sig_exprs = []
+    for a, b in coeffs:
+        # non-negative 61-bit token hash via pmod, then universal hash
+        sig_exprs.append(
+            f"aggregate({bag_col}, CAST({_MERSENNE} AS BIGINT), "
+            f"(acc, t) -> least(acc, pmod({a}L * pmod(xxhash64(t), {_MERSENNE}L) + {b}L, {_MERSENNE}L)))"
+        )
+    sig = "array(" + ",".join(sig_exprs) + ")"
+    df = names.where(F.size(F.col(bag_col)) > 0).withColumn("_sig", F.expr(sig))
+    band_rows = []
+    for bi in range(bands):
+        lo = bi * rows_per_band + 1  # slice() is 1-indexed
+        band_rows.append(
+            f"named_struct('band', {bi}, 'band_hash', "
+            f"xxhash64(concat_ws(',', slice(_sig, {lo}, {rows_per_band}))))"
+        )
+    df = df.withColumn("_bands", F.expr("array(" + ",".join(band_rows) + ")"))
+    return (
+        df.select(name_col, F.explode("_bands").alias("b"))
+        .select(
+            name_col,
+            F.concat_ws(":", F.col("b.band"), F.col("b.band_hash")).alias("band_key"),
+        )
+    )
+
+
+def union_candidate_pairs(*pair_dfs: DataFrame) -> DataFrame:
+    """Distinct canonical pair keys from any number of channels."""
+    out = None
+    for df in pair_dfs:
+        sel = df.select("name", "match")
+        out = sel if out is None else out.unionByName(sel)
+    assert out is not None
+    return out.distinct()
+
+
+def split_oversized_blocks(
+    index: DataFrame,
+    key_col: str,
+    name_col: str = "name",
+    cap: int = 500,
+) -> DataFrame:
+    """Cap-and-split with replicated boundaries: returns a task index
+    (task_key, name) such that grouping by task_key and enumerating pairs
+    inside each task yields exactly the original within-block pair set, with
+    every task bounded by ~cap names per side.
+
+    A block of size B gets g = ceil(B/cap) sub-groups; a name in sub-group
+    gi is replicated to all task keys (gi, gj), gi ≤ gj < g, tagged with the
+    side it plays, so cross-sub-group pairs are produced exactly once.
+    """
+    sizes = index.groupBy(key_col).agg(F.count("*").alias("_bs"))
+    idx = index.join(sizes, key_col)
+    idx = idx.withColumn("_g", F.expr(f"int(ceil(_bs / {cap}))"))
+    idx = idx.withColumn("_gi", F.pmod(F.xxhash64(F.col(name_col)), F.col("_g")).cast("int"))
+    # replicate each row to every (min(gi,gj), max(gi,gj)) task it joins
+    idx = idx.withColumn(
+        "_tasks",
+        F.expr(
+            "transform(sequence(0, _g - 1), gj -> named_struct("
+            "'lo', least(_gi, gj), 'hi', greatest(_gi, gj)))"
+        ),
+    )
+    out = idx.select(
+        key_col,
+        name_col,
+        F.col("_gi"),
+        F.explode(F.array_distinct("_tasks")).alias("_t"),
+    )
+    return out.select(
+        F.concat_ws("#", F.col(key_col), F.col("_t.lo"), F.col("_t.hi")).alias("task_key"),
+        F.col(key_col).alias("block_key"),
+        F.col(name_col).alias("name"),
+        F.col("_gi").alias("sub_group"),
+        F.col("_t.lo").alias("task_lo"),
+        F.col("_t.hi").alias("task_hi"),
+    )

@@ -1,0 +1,79 @@
+"""Connected components vs a union-find oracle on random graphs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from name_matching_spark.operators.cc import connected_components, name_clusters
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 30, 25), (2, 80, 60), (3, 120, 200)])
+def test_cc_matches_union_find(spark, seed, n_nodes, n_edges):
+    rng = random.Random(seed)
+    nodes = [f"N{i:03d}" for i in range(n_nodes)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _union_find_components(edges)
+    df = spark.createDataFrame(edges, ["name", "match"])
+    got = {
+        r["name"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+def test_cc_chain(spark):
+    # a long path exercises multi-round convergence
+    edges = [(f"X{i:02d}", f"X{i+1:02d}") for i in range(40)]
+    df = spark.createDataFrame(edges, ["name", "match"])
+    got = connected_components(df).collect()
+    assert all(r["component"] == "X00" for r in got)
+    assert len(got) == 41
+
+
+def test_name_clusters_reference_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            ("B", "A", 1),
+            ("C", "B", 1),
+            ("Z", "Y", 1),
+            ("Q", "R", 0),  # filtered: keep != 1
+        ],
+        ["name", "match", "keep"],
+    )
+    rows = name_clusters(df).collect()
+    by_name = {r["name"]: r for r in rows}
+    # group representative is min(name); representative row itself is dropped
+    assert set(by_name) == {"B", "C", "Z"}
+    assert by_name["B"]["group_name"] == "A"
+    assert by_name["C"]["group_name"] == "A"
+    assert by_name["Z"]["group_name"] == "Y"
+    # dense cluster ids
+    assert {r["cluster"] for r in rows} == {1, 2}
