@@ -120,6 +120,7 @@ def generate_corpus(n_entities: int = 200, seed: int = 42,
 
     entities: list[dict] = []
     n_company = int(n_entities * 0.75)
+    used_surnames = 0
 
     for eid in range(n_entities):
         if eid < n_company:
@@ -150,9 +151,18 @@ def generate_corpus(n_entities: int = 200, seed: int = 42,
             entities.append({"entity_id": eid, "kind": "company",
                              "aliases": sorted(aliases)})
         else:
-            # human entity: first/last with initials & nickname variants
+            # human entity: first/last with initials & nickname variants.
+            # Surnames are unique per entity: common-word first names clean to
+            # the bare surname in company mode, so two entities sharing a
+            # surname would collide at jw_distance=0 — a false positive even
+            # the reference could only catch via human review.
             first = rng.choice(FIRST_NAMES)
-            last = rng.choice(SURNAMES)
+            if used_surnames < len(SURNAMES):
+                last = sorted(set(SURNAMES))[used_surnames]
+                used_surnames += 1
+            else:
+                last = words[widx]
+                widx += 1
             nicks = [n for s, n in NICKNAMES if s == first]
             variants = {f"{first} {last}", f"{last}, {first}"}
             if rng.random() < 0.5:
@@ -169,6 +179,7 @@ def generate_corpus(n_entities: int = 200, seed: int = 42,
     # ---- truth table + jittered surface forms -------------------------------
     truth_rows = []
     surface_forms: list[tuple[str, int]] = []
+    surface_of: dict[tuple[int, str], str] = {}
     seen_names: set[str] = set()
     for e in entities:
         for a in e["aliases"]:
@@ -180,6 +191,7 @@ def generate_corpus(n_entities: int = 200, seed: int = 42,
             seen_names.add(s)
             truth_rows.append({"name": s, "entity_id": e["entity_id"]})
             surface_forms.append((s, e["entity_id"]))
+            surface_of[(e["entity_id"], a)] = s
     truth = pd.DataFrame(truth_rows)
 
     # ---- documents: interleaved text + media spans --------------------------
@@ -225,10 +237,9 @@ def generate_corpus(n_entities: int = 200, seed: int = 42,
             if len(share) < 2 and len(e["aliases"]) >= 2:
                 share = e["aliases"][:2]
             for a in share:
-                surf = [s for s, eid2 in surface_forms if eid2 == e["entity_id"]]
-                # map alias to its jittered surface form via truth
-                addr_rows.append({"name": surf[e["aliases"].index(a) % len(surf)],
-                                  "address": addr})
+                s = surface_of.get((e["entity_id"], a))
+                if s is not None:
+                    addr_rows.append({"name": s, "address": addr})
     # single-name addresses (must be dropped by the matcher)
     for i in range(max(3, n_entities // 20)):
         addr_rows.append({"name": truth.iloc[rng.randrange(len(truth))]["name"],

@@ -1,0 +1,84 @@
+"""Pairwise-F1 evaluation of entity clusters against ground truth.
+
+The north-rule metric: pairwise F1 ≥ 0.99 vs the reference's match decisions
+*at the same blocking key* — truth pairs are restricted to pairs that share
+a blocking key (i.e. were candidates at all), mirroring how the reference's
+decisions only exist for pairs its matchers surfaced.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.normalize import canonical_pair
+
+
+def truth_pairs(truth: DataFrame) -> DataFrame:
+    """(name, match) canonical same-entity pairs from truth_clusters
+    (name, entity_id)."""
+    a = truth.select(F.col("entity_id"), F.col("name").alias("_na"))
+    b = truth.select(F.col("entity_id"), F.col("name").alias("_nb"))
+    return (
+        a.join(b, "entity_id")
+        .where(F.col("_na") < F.col("_nb"))
+        .select(F.col("_na").alias("name"), F.col("_nb").alias("match"))
+        .distinct()
+    )
+
+
+def cluster_pairs(clusters: DataFrame) -> DataFrame:
+    """(name, match) canonical pairs implied by (name, group_name) clusters —
+    including the representative node itself."""
+    full = clusters.select("name", "group_name").unionByName(
+        clusters.select(F.col("group_name").alias("name"), "group_name")
+    ).distinct()
+    a = full.select("group_name", F.col("name").alias("_na"))
+    b = full.select("group_name", F.col("name").alias("_nb"))
+    return (
+        a.join(b, "group_name")
+        .where(F.col("_na") < F.col("_nb"))
+        .select(F.col("_na").alias("name"), F.col("_nb").alias("match"))
+        .distinct()
+    )
+
+
+@dataclass
+class F1Result:
+    tp: int
+    fp: int
+    fn: int
+
+    @property
+    def precision(self) -> float:
+        return self.tp / (self.tp + self.fp) if self.tp + self.fp else 1.0
+
+    @property
+    def recall(self) -> float:
+        return self.tp / (self.tp + self.fn) if self.tp + self.fn else 1.0
+
+    @property
+    def f1(self) -> float:
+        p, r = self.precision, self.recall
+        return 2 * p * r / (p + r) if p + r else 0.0
+
+
+def pairwise_f1(
+    predicted: DataFrame,
+    truth: DataFrame,
+    blocked: DataFrame | None = None,
+) -> F1Result:
+    """``predicted``/``truth``/``blocked`` are canonical (name, match) pair
+    DataFrames. When ``blocked`` is given, truth pairs outside the blocking
+    surface are excluded from recall (the "same blocking key" clause)."""
+    t = truth
+    if blocked is not None:
+        t = t.join(blocked.select("name", "match"), ["name", "match"], "left_semi")
+    p = predicted.select("name", "match").distinct()
+    t = t.select("name", "match").distinct()
+    tp = p.join(t, ["name", "match"], "left_semi").count()
+    fp = p.join(t, ["name", "match"], "left_anti").count()
+    fn = t.join(p, ["name", "match"], "left_anti").count()
+    return F1Result(tp=tp, fp=fp, fn=fn)

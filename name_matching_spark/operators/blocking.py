@@ -35,8 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# A large Mersenne prime for MinHash universal hashing.
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1 for MinHash universal hashing: coefficients and
+# reduced hashes stay below 2^31, so a*h+b < 2^62 never overflows int64
+# (Spark 4 runs ANSI mode — overflow is an error, not a wrap).
+_MERSENNE = (1 << 31) - 1
 
 
 def with_name_id(names: DataFrame, name_col: str = "name") -> DataFrame:

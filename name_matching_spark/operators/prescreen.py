@@ -1,0 +1,324 @@
+"""Pre-screen: verification rules, importance distance, RF match scoring.
+
+Reimplements code/functions/pre_screen_names.R:149-341. Rule order is
+load-bearing and preserved exactly:
+
+1. human-name screen (keep=0) BEFORE the human-score fillna;
+2. address verification (keep=1);
+3. lease-count features (min/max/sum, double-count zeroing, word_count);
+4. importance distance to the (p90, p70, ratio≥0.10) region — closed-form
+   point-to-convex-polygon distance, replacing the sf geometry at :118-147;
+5. prior-review merge (existing labels always win — :220-228);
+6. prior-cluster clique completion → keep=prior_check (:232-288);
+7. RF screen: keep=0 where rf_prob < cutoff and keep is null (:293-304).
+
+Extension (documented): ``auto_accept=True`` adds keep=1 where
+rf_prob ≥ cutoff and keep is still null — the automated stand-in for the
+reference's human-review step, which is what lets the pipeline produce
+end-to-end decisions without a human in the loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..constants import HUMAN_COS_THRESHOLD, HUMAN_JW_THRESHOLD, IMPORTANCE_MIN_MAX_RATIO
+from ..functions.normalize import canonical_pair, word_count_expr
+
+_BIG = 1e10
+_RF_FEATURES = [
+    "shared_words", "cosine_similarity", "jw_distance", "human_jw_distance",
+    "word_count", "sum_n",
+]
+
+
+# ---------------------------------------------------------------------------
+# importance distance (closed form, parity with sf st_distance at :118-147)
+# ---------------------------------------------------------------------------
+
+def _region_polygon(max_thr: float, min_thr: float, ratio: float) -> list[tuple[float, float]]:
+    """Vertices of {x≥max_thr, y≥min_thr, y≥ratio·x} ∩ [0,1e10]² ∩ {y≤ratio·1e10},
+    i.e. the reference's rectangle ∩ triangle."""
+    top = ratio * _BIG
+    if ratio * max_thr >= min_thr:
+        # ratio line is above the horizontal at x = max_thr
+        return [
+            (max_thr, ratio * max_thr),
+            (_BIG, top),
+            (max_thr, top),
+        ]
+    x_cross = min_thr / ratio
+    return [
+        (max_thr, min_thr),
+        (x_cross, min_thr),
+        (_BIG, top),
+        (max_thr, top),
+    ]
+
+
+def _point_polygon_distance(px: np.ndarray, py: np.ndarray, poly: list[tuple[float, float]]) -> np.ndarray:
+    """Distance from points to a convex polygon (0 inside), vectorized."""
+    n = len(poly)
+    # inside test via sign of cross products (polygon is CCW by construction)
+    inside = np.ones(len(px), dtype=bool)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        inside &= cross >= -1e-9
+    d = np.full(len(px), np.inf)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        seg2 = dx * dx + dy * dy
+        t = np.clip(((px - x1) * dx + (py - y1) * dy) / seg2, 0.0, 1.0) if seg2 > 0 else 0.0
+        qx, qy = x1 + t * dx, y1 + t * dy
+        d = np.minimum(d, np.hypot(px - qx, py - qy))
+    d[inside] = 0.0
+    return d
+
+
+def importance_distance_udf(max_thr: float, min_thr: float, ratio: float):
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    poly = _region_polygon(max_thr, min_thr, ratio)
+
+    def _dist(max_n: pd.Series, min_n: pd.Series) -> pd.Series:
+        px = max_n.to_numpy(dtype=np.float64)
+        py = min_n.to_numpy(dtype=np.float64)
+        return pd.Series(_point_polygon_distance(px, py, poly))
+
+    return pandas_udf(_dist, DoubleType())
+
+
+def count_percentiles(name_counts: DataFrame) -> tuple[float, float]:
+    """(p70, p90) of the per-name counts — exact interpolated percentile,
+    same as R quantile type 7 (pre_screen_names.R:189-192)."""
+    row = name_counts.agg(
+        F.expr("percentile(n, 0.7)").alias("p70"),
+        F.expr("percentile(n, 0.9)").alias("p90"),
+    ).collect()[0]
+    return float(row["p70"]), float(row["p90"])
+
+
+# ---------------------------------------------------------------------------
+# random forest screen
+# ---------------------------------------------------------------------------
+
+def train_rf(train: DataFrame, num_trees: int = 500, seed: int = 42):
+    """RandomForestRegressor on the reference's feature set
+    (pre_screen_names.R:66-71): keep ~ shared_words + cosine_similarity +
+    jw_distance + human_jw_distance + word_count + sum_n."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    assembler = VectorAssembler(
+        inputCols=[f"_f_{c}" for c in _RF_FEATURES],
+        outputCol="_features",
+        handleInvalid="keep",
+    )
+    rf = RandomForestRegressor(
+        featuresCol="_features",
+        labelCol="keep",
+        predictionCol="rf_prob",
+        numTrees=num_trees,
+        seed=seed,
+    )
+    data = assembler.transform(
+        _with_feature_cols(train.where(F.col("keep").isNotNull())).withColumn(
+            "keep", F.col("keep").cast("double")
+        )
+    )
+    model = rf.fit(data)
+    return assembler, model
+
+
+def _with_feature_cols(df: DataFrame) -> DataFrame:
+    for c in _RF_FEATURES:
+        df = df.withColumn(f"_f_{c}", F.coalesce(F.col(c).cast("double"), F.lit(0.0)))
+    return df
+
+
+def rf_predict(df: DataFrame, assembler, model) -> DataFrame:
+    out = model.transform(assembler.transform(_with_feature_cols(df)))
+    return out.drop("_features", *[f"_f_{c}" for c in _RF_FEATURES])
+
+
+def rf_cutoff(train: DataFrame, num_trees: int = 500, seed: int = 42) -> float:
+    """Cutoff via 80/20 split + depth-1 decision tree on rf_prob
+    (pre_screen_names.R:88-114). Returns the tree's split threshold."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    labeled = train.where(F.col("keep").isNotNull())
+    tr, te = labeled.randomSplit([0.8, 0.2], seed=seed)
+    assembler, model = train_rf(tr, num_trees=num_trees, seed=seed)
+    scored = rf_predict(te, assembler, model)
+    va = VectorAssembler(inputCols=["rf_prob"], outputCol="_p")
+    dt = DecisionTreeClassifier(
+        featuresCol="_p", labelCol="keep", maxDepth=1, seed=seed
+    )
+    dt_model = dt.fit(
+        va.transform(scored.withColumn("keep", F.col("keep").cast("double")))
+    )
+    # depth-1 tree: root split threshold; fall back to 0.5 on a degenerate tree
+    try:
+        return float(dt_model._call_java("rootNode").split().threshold())
+    except Exception:
+        return 0.5
+
+
+# ---------------------------------------------------------------------------
+# the pre-screen stage
+# ---------------------------------------------------------------------------
+
+def pre_screen(
+    name_matches: DataFrame,
+    address_matches: DataFrame | None,
+    name_counts: DataFrame,
+    labeled_pairs: DataFrame | None = None,
+    reviewed: DataFrame | None = None,
+    prior_clusters: DataFrame | None = None,
+    human_jw_threshold: float = HUMAN_JW_THRESHOLD,
+    human_cos_threshold: float = HUMAN_COS_THRESHOLD,
+    min_max_ratio: float = IMPORTANCE_MIN_MAX_RATIO,
+    num_trees: int = 500,
+    seed: int = 42,
+    auto_accept: bool = False,
+) -> DataFrame:
+    df = name_matches
+
+    # 1. human-name screen, then fillna (order matters: :154-160)
+    df = df.withColumn(
+        "keep",
+        F.when(
+            (F.col("human_jw_distance") > human_jw_threshold)
+            & (F.col("human_cosine_similarity") > human_cos_threshold)
+            & F.col("initials_match").isNull(),
+            F.lit(0.0),
+        ),
+    ).fillna(
+        {"human_jw_distance": 1.0, "human_cosine_similarity": 1.0, "initials_match": False}
+    )
+
+    # 2. address verification (:166-169)
+    if address_matches is not None:
+        df = df.join(
+            address_matches.select("name", "match", "address"), ["name", "match"], "left"
+        ).withColumn("keep", F.when(F.col("address").isNotNull(), 1.0).otherwise(F.col("keep")))
+    else:
+        df = df.withColumn("address", F.lit(None).cast("string"))
+
+    # 3. count features (:170-183)
+    counts = name_counts.select("name", "n")
+    df = (
+        df.join(counts.withColumnsRenamed({"n": "n_x"}), "name", "left")
+        .join(counts.withColumnsRenamed({"name": "match", "n": "n_y"}), "match", "left")
+        .withColumn("min_n", F.least("n_x", "n_y"))
+        .withColumn("max_n", F.greatest("n_x", "n_y"))
+        .withColumn(
+            "sum_n", F.coalesce("n_x", F.lit(0)) + F.coalesce("n_y", F.lit(0))
+        )
+        .withColumn("actual_n_x", F.col("n_x"))
+        .withColumn("actual_n_y", F.col("n_y"))
+    )
+    # double-count zeroing (:179-181) — deterministic row order via (name, match)
+    w_name = Window.partitionBy("name").orderBy("match")
+    w_match = Window.partitionBy("match").orderBy("name")
+    name_set = df.select(F.col("name").alias("match")).distinct().withColumn("_in_names", F.lit(1))
+    df = (
+        df.withColumn("n_x", F.when(F.row_number().over(w_name) > 1, 0).otherwise(F.col("n_x")))
+        .withColumn("n_y", F.when(F.row_number().over(w_match) > 1, 0).otherwise(F.col("n_y")))
+        .join(name_set, "match", "left")
+        .withColumn("n_y", F.when(F.col("_in_names") == 1, 0).otherwise(F.col("n_y")))
+        .drop("_in_names")
+        .fillna({"n_x": 0, "n_y": 0})
+        .withColumn("word_count", word_count_expr("name", "match"))
+    )
+
+    # 4. importance distance (:189-198)
+    p70, p90 = count_percentiles(name_counts)
+    dist_udf = importance_distance_udf(p90, p70, min_max_ratio)
+    df = df.withColumn(
+        "importance_dist",
+        dist_udf(F.col("max_n").cast("double"), F.col("min_n").cast("double")),
+    )
+
+    # 5. prior-review merge: existing labels win (:220-228)
+    if reviewed is not None:
+        rev = reviewed.select("name", "match", F.col("keep").cast("double").alias("_keep_rev"))
+        df = df.join(rev, ["name", "match"], "left").withColumn(
+            "keep", F.coalesce("_keep_rev", "keep")
+        ).drop("_keep_rev")
+
+    # 6. prior-cluster clique completion (:232-288)
+    if prior_clusters is not None:
+        completed = clique_completion(prior_clusters)
+        df = df.join(
+            completed.withColumn("prior_check", F.lit(1.0)), ["name", "match"], "left"
+        ).withColumn("keep", F.coalesce("prior_check", "keep"))
+    else:
+        df = df.withColumn("prior_check", F.lit(None).cast("double"))
+
+    # 7. RF screen (:293-304). ``labeled_pairs`` carries (name, match, keep)
+    # human labels (the fixture equivalent of training/leases_sample.csv);
+    # features are taken from the pair table just computed.
+    if labeled_pairs is not None:
+        df = df.withColumn(
+            "human_jw_distance", F.coalesce("human_jw_distance", F.lit(1.0))
+        )
+        train = (
+            df.select("name", "match", *_RF_FEATURES)
+            .join(
+                labeled_pairs.select(
+                    "name", "match", F.col("keep").cast("double").alias("_lbl")
+                ),
+                ["name", "match"],
+            )
+            .withColumn("keep", F.col("_lbl"))
+            .drop("_lbl")
+            .fillna({c: 0.0 for c in _RF_FEATURES})
+            .cache()
+        )
+        cutoff = rf_cutoff(train, num_trees=num_trees, seed=seed)
+        assembler, model = train_rf(train, num_trees=num_trees, seed=seed)
+        df = rf_predict(df, assembler, model)
+        df = df.withColumn(
+            "keep",
+            F.when((F.col("rf_prob") < cutoff) & F.col("keep").isNull(), 0.0).otherwise(
+                F.col("keep")
+            ),
+        )
+        if auto_accept:
+            df = df.withColumn(
+                "keep",
+                F.when((F.col("rf_prob") >= cutoff) & F.col("keep").isNull(), 1.0).otherwise(
+                    F.col("keep")
+                ),
+            )
+    return df
+
+
+def clique_completion(clusters: DataFrame) -> DataFrame:
+    """All C(n,2) canonical edges within each prior cluster
+    (pre_screen_names.R:40-50, 249-255). ``clusters`` is (name, group_name);
+    the component includes the representative itself."""
+    full = clusters.select("name", "group_name").unionByName(
+        clusters.select(F.col("group_name").alias("name"), "group_name")
+    ).distinct()
+    a = full.select("group_name", F.col("name").alias("_na"))
+    b = full.select("group_name", F.col("name").alias("_nb"))
+    lo, hi = canonical_pair(F.col("_na"), F.col("_nb"))
+    return (
+        a.join(b, "group_name")
+        .where(F.col("_na") < F.col("_nb"))
+        .select(lo.alias("name"), hi.alias("match"))
+        .distinct()
+    )
