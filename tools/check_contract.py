@@ -1,0 +1,107 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs each __spark_entry__.queries() entry at sf=0.01 and compares against
+oracle_sql() via DuckDB: row count, schema (sorted column names), and an
+order-insensitive value hash. Usage:
+
+    python tools/check_contract.py [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    d = df[cols].copy()
+    for c in cols:
+        col = d[c]
+        if col.dtype == object:
+            d[c] = col.astype(str)
+        elif str(col.dtype).startswith("float"):
+            d[c] = col.round(6).map(lambda v: f"{v:.6f}" if pd.notna(v) else "NaN")
+        else:
+            d[c] = col.astype(str)
+    rows = sorted("\x1f".join(r) for r in d.itertuples(index=False, name=None))
+    return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()
+
+
+def main(only: list[str]) -> int:
+    import __spark_entry__ as entry_mod
+    from name_matching_spark.session import get_spark
+
+    spark = get_spark(master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = only or list(queries)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        elif value_hash(sdf) != value_hash(odf):
+            problems.append("value hash mismatch")
+            # diff aid
+            cols = sorted(sdf.columns)
+            key = [c for c in cols]
+            a = set(map(tuple, sdf[cols].astype(str).itertuples(index=False, name=None)))
+            b = set(map(tuple, odf[cols].astype(str).itertuples(index=False, name=None)))
+            extra = list(a - b)[:3]
+            missing = list(b - a)[:3]
+            if extra:
+                problems.append(f"spark-only rows: {extra}")
+            if missing:
+                problems.append(f"oracle-only rows: {missing}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} failing: {failures}")
+        return 1
+    print(f"\nall {len(names)} queries pass")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
