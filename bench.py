@@ -1,0 +1,136 @@
+"""Headline benchmark for the PySpark entity-resolution engine.
+
+Runs the flagship pipeline stages on the deterministic fixture corpus at the
+scale matching $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) plus two
+contract queries on the driver tables, on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "e2e_resolve_sec", "value": N, "unit": "sec",
+     "queries": {...per-stage seconds...}, "sf": 0.1,
+     "pairs_scored": P, "pairs_per_sec": R}
+
+`python bench.py --scaling` additionally runs the pair-scoring stage at
+local[8] and local[32] in subprocesses and reports throughput at both plus
+scaling efficiency (the sandbox stand-in for N vs 4N executors — see
+BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_name(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base.startswith("sf") else "sf0.1"
+
+
+def run_bench(sf_dir: str, cpus: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.datagen import ensure_fixtures, sf_from_path
+    from name_matching_spark.operators.cc import name_clusters
+    from name_matching_spark.operators.extract import extract_names
+    from name_matching_spark.pipeline import match_names
+    from name_matching_spark.session import get_spark
+
+    sf = sf_from_path(sf_dir)
+    fixtures = ensure_fixtures(sf)
+    spark = get_spark(master=f"local[{cpus}]")
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # stage 1: scan + span extraction + name universe
+    t0 = time.time()
+    docs = spark.read.parquet(os.path.join(fixtures, "documents_spans.parquet"))
+    names = extract_names(docs)
+    n_names = names.count()
+    timings["extract_names"] = round(time.time() - t0, 3)
+
+    # stage 2: blocking + scoring + merge (the heavy stage)
+    t0 = time.time()
+    mm = match_names(names.select("name"))
+    master = mm.master.cache()
+    n_pairs = master.count()
+    timings["match_names"] = round(time.time() - t0, 3)
+
+    # stage 3: threshold accept + connected components + group naming
+    t0 = time.time()
+    accepted = master.where(
+        (F.col("jw_distance") <= 0.15)
+        | (F.col("cosine_similarity") >= 0.4)
+        | (F.col("shared_words") >= 2)
+    )
+    clusters = name_clusters(accepted.select("name", "match"))
+    n_clustered = clusters.count()
+    timings["cluster"] = round(time.time() - t0, 3)
+
+    # stage 4: two contract queries on the driver tables at this sf
+    from name_matching_spark import contract
+
+    t0 = time.time()
+    contract.q_tfidf_cosine(spark, sf_dir).count()
+    timings["tfidf_cosine_driver"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    contract.q_connected_components(spark, sf_dir).count()
+    timings["cc_driver"] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_all, 3)
+    spark.stop()
+    return {
+        "metric": "e2e_resolve_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf[2:]),
+        "names": n_names,
+        "pairs_scored": n_pairs,
+        "pairs_per_sec": round(n_pairs / max(timings["match_names"], 1e-9), 1),
+        "clustered_names": n_clustered,
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job at local[8] and local[32]; throughput + efficiency."""
+    import subprocess
+
+    out = {}
+    for cpus in ("8", "32"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=sf_dir)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+    t8 = out["8"]["queries"]["match_names"]
+    t32 = out["32"]["queries"]["match_names"]
+    speedup = t8 / t32
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(speedup / 4.0, 3),
+        "unit": "ratio",
+        "queries": {
+            "match_names_local8_sec": t8,
+            "match_names_local32_sec": t32,
+            "pairs_per_sec_local8": out["8"]["pairs_per_sec"],
+            "pairs_per_sec_local32": out["32"]["pairs_per_sec"],
+        },
+        "sf": out["32"]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, cpus)))

@@ -58,7 +58,10 @@ def tfidf_cosine_pairs(
     Output: (name, match, cosine_similarity). Equivalent to the reference's
     match_names_cosine (match_names.R:528-559) without the dense matrix.
     """
-    w = token_weights(names, bag_col, name_col)
+    # weights feed both sides of the pair self-join (and norms are an agg
+    # over the same rows) — materialize once instead of re-deriving the
+    # tokenize/normalize lineage per join branch
+    w = token_weights(names, bag_col, name_col).localCheckpoint(eager=True)
     if max_df is not None:
         w_join = w.where(F.col("df") <= max_df)
     else:

@@ -104,7 +104,7 @@ def match_names(
     (match_names.R:806-808): name, match, shared_words, cosine_similarity,
     jw_distance, human_jw_distance, human_cosine_similarity, initials_match.
     """
-    prepped = prepare_names(names).cache()
+    prepped = prepare_names(names).localCheckpoint(eager=True)
 
     # --- channel 1: human first-name distance (match_names.R:599-601)
     human = match_first_name(prepped.select("name"))
@@ -147,13 +147,19 @@ def match_names(
         .select("name", "match", "jw_distance")
     )
 
-    # --- 4-way full outer merge (match_names.R:716-722)
+    # --- 4-way full outer merge (match_names.R:716-722) ---------------------
+    # Materialize the merged pair table before the backfill: the backfill
+    # references `master` on both sides of its joins (missing-score subsets
+    # joined back), so without a checkpoint every channel's whole plan would
+    # be re-evaluated once per backfill step — O(channels × backfills)
+    # recompute. One localCheckpoint makes the backfill linear and truncates
+    # a 40-join lineage that AQE otherwise re-optimizes per stage.
     master = (
         cosine.join(shared, ["name", "match"], "full")
         .join(jaro, ["name", "match"], "full")
         .join(human, ["name", "match"], "full")
         .where(F.col("name") != F.col("match"))
-    )
+    ).localCheckpoint(eager=True)
 
     # --- set-oriented backfill (match_names.R:729-808) ---------------------
     # shared_words: recompute with drop_common_words=FALSE for missing pairs
@@ -176,8 +182,11 @@ def match_names(
     )
     # cosine: paired tf-idf over the global corpus weights (deviation from
     # the reference, which refits idf on just the missing-pair corpus at
-    # :738-783 — one consistent corpus is both cheaper and more principled)
-    weights = token_weights(prepped.where(F.col("clean_name") != ""), "bag_clean")
+    # :738-783 — one consistent corpus is both cheaper and more principled).
+    # Weights join both sides of the pair → persist once.
+    weights = token_weights(
+        prepped.where(F.col("clean_name") != ""), "bag_clean"
+    ).localCheckpoint(eager=True)
     missing_cos = master.where(F.col("cosine_similarity").isNull()).select("name", "match")
     backfilled_cos = paired_cosine(missing_cos, weights, "name", "match", "_cos_bf")
     master = master.join(backfilled_cos, ["name", "match"], "left").withColumn(
