@@ -179,6 +179,51 @@ def rf_cutoff(train: DataFrame, num_trees: int = 500, seed: int = 42) -> float:
 # the pre-screen stage
 # ---------------------------------------------------------------------------
 
+def human_screen_rule(
+    df: DataFrame,
+    human_jw_threshold: float = HUMAN_JW_THRESHOLD,
+    human_cos_threshold: float = HUMAN_COS_THRESHOLD,
+) -> DataFrame:
+    """Rule 1 (pre_screen_names.R:154-160): keep=0 for far-apart human
+    first names, THEN fillna the human scores — order is load-bearing."""
+    return df.withColumn(
+        "keep",
+        F.when(
+            (F.col("human_jw_distance") > human_jw_threshold)
+            & (F.col("human_cosine_similarity") > human_cos_threshold)
+            & F.col("initials_match").isNull(),
+            F.lit(0.0),
+        ),
+    ).fillna(
+        {"human_jw_distance": 1.0, "human_cosine_similarity": 1.0, "initials_match": False}
+    )
+
+
+def address_verify_rule(df: DataFrame, address_matches: DataFrame | None) -> DataFrame:
+    """Rule 2 (pre_screen_names.R:166-169): keep=1 where an address match
+    exists; adds the ``address`` column."""
+    if address_matches is None:
+        return df.withColumn("address", F.lit(None).cast("string"))
+    return df.join(
+        address_matches.select("name", "match", "address"), ["name", "match"], "left"
+    ).withColumn("keep", F.when(F.col("address").isNotNull(), 1.0).otherwise(F.col("keep")))
+
+
+def merge_labels(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """Never-overwrite label merge (pre_screen_names.R:220-228): rows from
+    ``existing`` win on (name, match); deterministic via an explicit
+    priority + window instead of Spark's order-dependent dropDuplicates."""
+    u = existing.withColumn("_prio", F.lit(0)).unionByName(
+        new.withColumn("_prio", F.lit(1))
+    )
+    w = Window.partitionBy("name", "match").orderBy("_prio")
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )
+
+
 def pre_screen(
     name_matches: DataFrame,
     address_matches: DataFrame | None,
@@ -196,25 +241,10 @@ def pre_screen(
     df = name_matches
 
     # 1. human-name screen, then fillna (order matters: :154-160)
-    df = df.withColumn(
-        "keep",
-        F.when(
-            (F.col("human_jw_distance") > human_jw_threshold)
-            & (F.col("human_cosine_similarity") > human_cos_threshold)
-            & F.col("initials_match").isNull(),
-            F.lit(0.0),
-        ),
-    ).fillna(
-        {"human_jw_distance": 1.0, "human_cosine_similarity": 1.0, "initials_match": False}
-    )
+    df = human_screen_rule(df, human_jw_threshold, human_cos_threshold)
 
     # 2. address verification (:166-169)
-    if address_matches is not None:
-        df = df.join(
-            address_matches.select("name", "match", "address"), ["name", "match"], "left"
-        ).withColumn("keep", F.when(F.col("address").isNotNull(), 1.0).otherwise(F.col("keep")))
-    else:
-        df = df.withColumn("address", F.lit(None).cast("string"))
+    df = address_verify_rule(df, address_matches)
 
     # 3. count features (:170-183)
     counts = name_counts.select("name", "n")
