@@ -261,6 +261,29 @@ def generate_corpus(n_entities: int = 200, seed: int = 42,
         a = rng.choice(by_entity[e1])
         b = rng.choice(by_entity[e2])
         neg.append({"name": min(a, b), "match": max(a, b), "keep": 0})
+    # hard negatives: cross-entity pairs sharing a token (e.g. two humans
+    # with the same first name). The reference's 1,000-pair labeled sample
+    # was drawn from *actual candidate pairs* (writeups §"random forest"),
+    # so its negatives are exactly these hard cases — without them the RF
+    # never learns that a shared first name is not a match.
+    # pair the *surfaces that share the token* so the labeled pair is an
+    # actual candidate pair (training joins labels against the candidate
+    # table — a label for a non-candidate pair is silently dropped).
+    tok_surfaces: dict[str, dict[int, str]] = {}
+    for s, eid in surface_forms:
+        for tok in s.upper().replace(",", " ").replace(".", " ").split():
+            if len(tok) > 2:
+                tok_surfaces.setdefault(tok, {}).setdefault(eid, s)
+    hard = []
+    for tok in sorted(tok_surfaces):
+        per_entity = tok_surfaces[tok]
+        if not 2 <= len(per_entity) <= 8:
+            continue
+        for e1, e2 in itertools.combinations(sorted(per_entity), 2):
+            a, b = per_entity[e1], per_entity[e2]
+            hard.append({"name": min(a, b), "match": max(a, b), "keep": 0})
+    rng.shuffle(hard)
+    neg.extend(hard[: len(pos)])
     labeled = (
         pd.DataFrame(pos + neg)
         .drop_duplicates(subset=["name", "match"])
@@ -289,6 +312,9 @@ def sf_from_path(sf_dir: str) -> str:
     return base if base in SF_ENTITIES else "sf0.01"
 
 
+FIXTURE_VERSION = 2  # bump to force regeneration after datagen changes
+
+
 def ensure_fixtures(sf: str = "sf0.01", seed: int = 42) -> str:
     """Write fixture parquet for ``sf`` if missing; returns the directory.
 
@@ -297,8 +323,11 @@ def ensure_fixtures(sf: str = "sf0.01", seed: int = 42) -> str:
     """
     out = fixture_dir(sf)
     marker = os.path.join(out, "_COMPLETE")
+    expected = f"v={FIXTURE_VERSION} seed={seed} n_entities={SF_ENTITIES[sf]}\n"
     if os.path.exists(marker):
-        return out
+        with open(marker) as f:
+            if f.read() == expected:
+                return out
     os.makedirs(out, exist_ok=True)
     corpus = generate_corpus(n_entities=SF_ENTITIES[sf], seed=seed)
     import pyarrow as pa
@@ -324,5 +353,5 @@ def ensure_fixtures(sf: str = "sf0.01", seed: int = 42) -> str:
     pq.write_table(pa.Table.from_pandas(corpus.labeled_pairs, preserve_index=False),
                    os.path.join(out, "labeled_pairs.parquet"))
     with open(marker, "w") as f:
-        f.write(f"seed={seed} n_entities={SF_ENTITIES[sf]}\n")
+        f.write(expected)
     return out

@@ -34,6 +34,10 @@ _BIG = 1e10
 _RF_FEATURES = [
     "shared_words", "cosine_similarity", "jw_distance", "human_jw_distance",
     "word_count", "sum_n",
+    # extension beyond the reference's feature list (pre_screen_names.R:66-71):
+    # symmetric Monge-Elkan token similarity — the separator between typo
+    # aliases and shared-common-token coincidences (see pairs.py)
+    "token_sim",
 ]
 
 
@@ -199,6 +203,60 @@ def human_screen_rule(
     )
 
 
+def cross_surname_screen(df: DataFrame) -> DataFrame:
+    """Rule 1b (extension; automated stand-in for the reference's human
+    review): two names that BOTH parse as human names with DIFFERENT last
+    names are not the same person — a reviewer rejects 'JASON NELSON' vs
+    'JASON NGUYEN' on sight. Applied only where keep is still NULL and
+    before address verification, so address evidence can still override
+    (mirroring the reference's rule order, pre_screen_names.R:154-169).
+
+    The name-part table is recomputed from the pair table's distinct names —
+    one dictionary-join pass over the name universe, broadcast-sized.
+    """
+    from ..functions.normalize import with_clean_name
+    from .human import extract_name
+
+    names = (
+        df.select(F.col("name").alias("nm"))
+        .unionByName(df.select(F.col("match").alias("nm")))
+        .distinct()
+    )
+    names = with_clean_name(names, "nm", "clean_name", drop_common=False, human=True)
+    parts = extract_name(names, "clean_name").select(
+        "nm",
+        F.col("company").alias("_comp"),
+        F.col("last_name").alias("_last"),
+    )
+    a = parts.select(
+        F.col("nm").alias("name"),
+        F.col("_comp").alias("_comp_a"),
+        F.col("_last").alias("_last_a"),
+    )
+    b = parts.select(
+        F.col("nm").alias("match"),
+        F.col("_comp").alias("_comp_b"),
+        F.col("_last").alias("_last_b"),
+    )
+    out = (
+        df.join(a, "name", "left")
+        .join(b, "match", "left")
+        .withColumn(
+            "keep",
+            F.when(
+                F.col("keep").isNull()
+                & ~F.coalesce("_comp_a", F.lit(True))
+                & ~F.coalesce("_comp_b", F.lit(True))
+                & F.col("_last_a").isNotNull()
+                & F.col("_last_b").isNotNull()
+                & (F.col("_last_a") != F.col("_last_b")),
+                F.lit(0.0),
+            ).otherwise(F.col("keep")),
+        )
+    )
+    return out.drop("_comp_a", "_comp_b", "_last_a", "_last_b")
+
+
 def address_verify_rule(df: DataFrame, address_matches: DataFrame | None) -> DataFrame:
     """Rule 2 (pre_screen_names.R:166-169): keep=1 where an address match
     exists; adds the ``address`` column."""
@@ -242,6 +300,9 @@ def pre_screen(
 
     # 1. human-name screen, then fillna (order matters: :154-160)
     df = human_screen_rule(df, human_jw_threshold, human_cos_threshold)
+
+    # 1b. cross-surname screen (extension; see cross_surname_screen docstring)
+    df = cross_surname_screen(df)
 
     # 2. address verification (:166-169)
     df = address_verify_rule(df, address_matches)

@@ -197,9 +197,20 @@ def match_names(
         master, [("_jw_raw", "jaro_distance", "name", "match")]
     ).withColumn("jw_distance", F.coalesce("jw_distance", "_jw_raw")).drop("_jw_raw")
 
+    # token_sim: symmetric Monge-Elkan over cleaned bags (extension beyond
+    # the reference's feature set — the RF feature that separates typo
+    # aliases from shared-first-name coincidences; see pairs.py)
+    from .operators.pairs import token_set_similarity
+
+    master = token_set_similarity(
+        master, prepped.select("name", F.col("bag_clean").alias("bag")),
+        bag_col="bag", out="token_sim",
+    )
+
     master = master.select(
         "name", "match", "shared_words", "cosine_similarity", "jw_distance",
         "human_jw_distance", "human_cosine_similarity", "initials_match",
+        "token_sim",
     )
     dropped = dropped_shared.withColumn("channel", F.lit("shared_word")).unionByName(
         dropped_jaro.withColumnsRenamed({"bkey": "token"}).withColumn(
