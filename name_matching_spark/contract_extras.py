@@ -1,0 +1,595 @@
+"""Contract batch 3: training-data pipeline operators over the driver's
+documents/embeddings tables — dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard), similarity search (brute-force + RP-LSH ANN), text
+analysis (language ID, quality, token counts, fingerprints), span
+extraction, and the Monge-Elkan token similarity scorer.
+
+Near-dup inputs are built by unioning the documents table with perturbed
+copies of itself *in the query* (identically in both engines) — the driver
+corpus has no natural duplicates, and an in-SQL injection keeps the oracle
+self-contained.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .contract import DUCK_H, _register, duck_prepped_cte
+from .operators.dedup import _MERSENNE
+from .operators.textstats import LANG_PROFILES, STOPWORDS_EN
+
+# ---------------------------------------------------------------------------
+# dup-injected documents (shared SQL, both engines)
+# ---------------------------------------------------------------------------
+
+# exact copy at +100000; near copy (first word dropped) at +200000
+DUP_DOCS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id,
+       substr(text, strpos(text, ' ') + 1) AS text
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+SPARK_DUP_DOCS_SQL = DUP_DOCS_SQL.replace("strpos(text, ' ')", "locate(' ', text)")
+
+
+def _dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    return spark.sql(SPARK_DUP_DOCS_SQL)
+
+
+def _duck_toks(text: str = "text") -> str:
+    return f"list_filter(string_split({text}, ' '), t -> t <> '')"
+
+
+def _duck_shingles(n: int, text: str = "text") -> str:
+    toks = _duck_toks(text)
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 hash-groupBy, canonical keeper = min doc_id."""
+    from .operators.dedup import exact_duplicates
+
+    return exact_duplicates(_dup_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.col("group_size").cast("bigint").alias("group_size"),
+    )
+
+
+def o_dedup_exact() -> str:
+    return f"""
+WITH d AS ({DUP_DOCS_SQL}),
+h AS (SELECT doc_id, md5(text) AS th FROM d),
+g AS (SELECT th, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_size
+      FROM h GROUP BY th)
+SELECT h.doc_id, g.keep_id, g.group_size FROM h JOIN g ON h.th = g.th
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (shared-shingle inverted index)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    pairs, _ = ngram_jaccard_pairs(
+        _dup_docs(spark, sf_dir), threshold=-1.0, n=3
+    )
+    return (
+        pairs.withColumn("jaccard", F.round("jaccard", 6))
+        .where(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
+def o_dedup_jaccard() -> str:
+    return f"""
+WITH d AS ({DUP_DOCS_SQL}),
+sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest({_duck_shingles(3)}) AS shingle FROM d
+  )
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+       round(i.shared / (sa.n_sh + sb.n_sh - i.shared), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE round(i.shared / (sa.n_sh + sb.n_sh - i.shared), 6) >= 0.5
+"""
+
+
+_MH_SEED = 20260816
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (md5-hash variant, 16 hashes,
+    4 bands)."""
+    from .operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _dup_docs(spark, sf_dir), num_hashes=16, bands=4, seed=_MH_SEED
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("n_bands").cast("bigint").alias("n_bands"),
+    )
+
+
+def o_dedup_minhash() -> str:
+    import random
+
+    rng = random.Random(_MH_SEED)
+    h = DUCK_H.format(x="t")
+    sig_exprs = []
+    for _ in range(16):
+        a = rng.randrange(1, _MERSENNE)
+        b = rng.randrange(0, _MERSENNE)
+        sig_exprs.append(
+            f"list_min(list_transform({_duck_toks()}, "
+            f"t -> ({a} * ({h} % {_MERSENNE}) + {b}) % {_MERSENNE}))"
+        )
+    rows = 4
+    band_selects = []
+    for bi in range(4):
+        lo = bi * rows
+        key = " || '-' || ".join(f"CAST(sig[{lo + j + 1}] AS VARCHAR)" for j in range(rows))
+        band_selects.append(
+            f"SELECT id, {bi} AS band, {key} AS key FROM sigs"
+        )
+    return f"""
+WITH d AS ({DUP_DOCS_SQL}),
+sigs AS (
+  SELECT doc_id AS id, [{",".join(sig_exprs)}] AS sig
+  FROM d WHERE len({_duck_toks()}) > 0
+),
+keyed AS ({" UNION ALL ".join(band_selects)})
+SELECT a.id AS id_a, b.id AS id_b, CAST(count(DISTINCT a.band) AS BIGINT) AS n_bands
+FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+GROUP BY a.id, b.id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash fingerprints (bit-majority over token hashes)."""
+    from .operators.dedup import simhash
+
+    return simhash(_dup_docs(spark, sf_dir), bits=48).select(
+        F.col("id").cast("bigint").alias("id"), "simhash"
+    )
+
+
+def o_dedup_simhash() -> str:
+    h = DUCK_H.format(x="tok")
+    return f"""
+WITH d AS ({DUP_DOCS_SQL}),
+t AS (
+  SELECT doc_id AS id, {h} AS hh FROM (
+    SELECT doc_id, unnest({_duck_toks()}) AS tok FROM d
+  )
+),
+votes AS (
+  SELECT id, j.j, CASE WHEN (hh >> j.j) & 1 = 1 THEN 1 ELSE -1 END AS v
+  FROM t CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS j) j
+),
+bit_sums AS (SELECT id, j, sum(v) AS s FROM votes GROUP BY id, j)
+SELECT id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bit_sums GROUP BY id
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-blocked Hamming ≤ 6 SimHash near-dup pairs."""
+    from .operators.dedup import simhash, simhash_near_pairs
+
+    sims = simhash(_dup_docs(spark, sf_dir), bits=48)
+    return simhash_near_pairs(sims, bits=48, bands=4, max_hamming=6).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
+def o_simhash_pairs() -> str:
+    sim = o_dedup_simhash().strip()
+    width = 12
+    mask = (1 << width) - 1
+    bands = ",".join(
+        f"({bi}, {bi * width})" for bi in range(4)
+    )
+    return f"""
+WITH sims AS ({sim}),
+bands(band, shift) AS (VALUES {bands}),
+keyed AS (
+  SELECT s.id, s.simhash, b.band, (s.simhash >> b.shift) & {mask} AS key
+  FROM sims s CROSS JOIN bands b
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 20."""
+    from .operators.similarity import cosine_topk
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return cosine_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+_DUCK_DOT = (
+    "list_reduce(list_transform(generate_series(1, {d}), i -> {a}[i] * {b}[i]), "
+    "(x, y) -> x + y)"
+)
+
+
+def o_embedding_topk() -> str:
+    dot = _DUCK_DOT.format(d=_DIM, a="q.u", b="n.u")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt({_DUCK_DOT.format(d=_DIM, a="v", b="v")})) AS u
+  FROM e
+  WHERE sqrt({_DUCK_DOT.format(d=_DIM, a="v", b="v")}) > 0
+),
+q AS (SELECT vec_id AS query_id, u FROM unit WHERE vec_id < 20),
+n AS (SELECT vec_id AS neighbor_id, u FROM unit),
+dots AS (
+  SELECT q.query_id, n.neighbor_id, round({dot}, 5) AS cosine
+  FROM q CROSS JOIN n WHERE q.query_id <> n.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM dots
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RP-LSH sign-pattern buckets (deterministic rational hyperplanes)."""
+    from .operators.similarity import rp_lsh_buckets
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return rp_lsh_buckets(emb, planes=12, dim=_DIM).select(
+        F.col("id").cast("bigint").alias("id"), "bucket"
+    )
+
+
+def o_ann_buckets() -> str:
+    plane_dots = []
+    for p in range(12):
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, {_DIM}), "
+            f"i -> embedding[i]::DOUBLE * "
+            f"((({p} * 2654435761 + (i - 1) * 40503) % 2001 - 1000)::DOUBLE)), "
+            "(x, y) -> x + y)"
+        )
+        plane_dots.append(
+            f"(CASE WHEN round({dot}, 6) >= 0 THEN (1::BIGINT << {p}) ELSE 0 END)"
+        )
+    return f"""
+SELECT vec_id AS id, {" + ".join(plane_dots)} AS bucket
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import token_counts
+
+    _register(spark, sf_dir, "documents")
+    return token_counts(spark.table("documents"))
+
+
+def o_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len({_duck_toks()}) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS bpe_ish_tokens,
+  CAST(length(text) AS BIGINT) AS chars
+FROM documents
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import quality_scores
+
+    _register(spark, sf_dir, "documents")
+    return quality_scores(spark.table("documents"))
+
+
+def o_quality() -> str:
+    stop = "[" + ",".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+    toks = _duck_toks()
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+    len({toks}) AS n,
+    list_reduce(list_prepend(0, list_transform({toks}, t -> length(t))), (a, b) -> a + b) AS len_sum,
+    len(list_filter({toks}, t -> list_contains({stop}, lower(t)))) AS stop,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(n AS BIGINT) AS n_tokens,
+    round(CASE WHEN n > 0 THEN len_sum / n ELSE 0.0 END, 6) AS avg_token_len,
+    round(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+    round(CASE WHEN n > 0 THEN stop / n ELSE 0.0 END, 6) AS stopword_ratio
+  FROM d
+)
+SELECT *,
+  round((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN avg_token_len >= 2 AND avg_token_len <= 12 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN stopword_ratio >= 0.01 THEN 0.2 ELSE 0.0 END)
+      + (CASE WHEN punct_ratio <= 0.2 THEN 0.1 ELSE 0.0 END), 6) AS quality
+FROM m
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import language_id
+
+    _register(spark, sf_dir, "documents")
+    return language_id(spark.table("documents"))
+
+
+def o_lang_id() -> str:
+    toks = _duck_toks("lower(text)")
+    hit_cols = []
+    for lang, ws in sorted(LANG_PROFILES.items()):
+        arr = "[" + ",".join(f"'{w}'" for w in ws) + "]"
+        hit_cols.append(
+            f"CASE WHEN len({toks}) > 0 THEN "
+            f"round(len(list_filter({toks}, t -> list_contains({arr}, t))) / len({toks}), 6) "
+            f"ELSE 0.0 END AS s_{lang}"
+        )
+    langs = sorted(LANG_PROFILES)
+    # argmax with lexicographic tie-break = first lang (sorted) that is >= all
+    pred_cases = []
+    for lang in langs:
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        pred_cases.append(f"WHEN {conds} THEN '{lang}'")
+    score_cases = " ".join(
+        f"WHEN pred_lang = '{lang}' THEN s_{lang}" for lang in langs
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {", ".join(hit_cols)} FROM documents),
+p AS (SELECT *, CASE {" ".join(pred_cases)} END AS pred_lang FROM s)
+SELECT doc_id, pred_lang, CASE {score_cases} END AS lang_score FROM p
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import fingerprints
+
+    _register(spark, sf_dir, "documents")
+    return fingerprints(spark.table("documents"), n=4, mod=8)
+
+
+def o_fingerprints() -> str:
+    h = DUCK_H.format(x="shingle")
+    return f"""
+SELECT DISTINCT doc_id, fp FROM (
+  SELECT doc_id, {h} AS fp FROM (
+    SELECT doc_id, unnest({_duck_shingles(4)}) AS shingle FROM documents
+  )
+) WHERE fp % 8 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# span extraction (constructed interleaved spans, both engines)
+# ---------------------------------------------------------------------------
+
+def q_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint span plumbing: build interleaved text/media spans from
+    the documents table, extract text spans preserving order (§2.12
+    mapInPandas path is exercised in tests; here the Catalyst explode)."""
+    _register(spark, sf_dir, "documents")
+    docs = spark.sql(
+        """
+        SELECT doc_id,
+          transform(slice(filter(split(text, ' '), t -> t <> ''), 1, 6),
+            (w, i) -> named_struct(
+              'kind', IF(i % 3 = 2, 'media', 'text'),
+              'text', IF(i % 3 = 2, CAST(NULL AS STRING), w),
+              'media_ref', IF(i % 3 = 2, concat('m://', w), CAST(NULL AS STRING)),
+              'offset', i)) AS spans
+        FROM documents
+        """
+    )
+    return (
+        docs.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        .where(F.col("s.kind") == "text")
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("span_index"),
+            F.col("s.text").alias("name"),
+        )
+    )
+
+
+def o_span_extract() -> str:
+    toks = _duck_toks()
+    return f"""
+WITH sp AS (
+  SELECT doc_id,
+         unnest(generate_series(1, least(len({toks}), 6))) - 1 AS pos,
+         unnest(list_slice({toks}, 1, 6)) AS w
+  FROM documents
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS span_index, w AS name
+FROM sp WHERE pos % 3 <> 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Monge-Elkan token similarity (ER scorer, §pairs.token_set_similarity)
+# ---------------------------------------------------------------------------
+
+def q_token_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric Monge-Elkan token-set similarity over shared-word pairs."""
+    from .contract import _spark_prepped
+    from .operators.blocking import shared_word_pairs
+    from .operators.pairs import token_set_similarity
+
+    prepped = _spark_prepped(spark, sf_dir)
+    pairs, _ = shared_word_pairs(prepped, "bag_shared", max_block=1_000_000)
+    out = token_set_similarity(
+        pairs.select("name", "match"),
+        prepped.select("name", F.col("bag_clean").alias("bag")),
+        bag_col="bag",
+        out="token_sim",
+    )
+    return out.where(F.col("token_sim").isNotNull()).select(
+        "name", "match", F.round("token_sim", 6).alias("token_sim")
+    )
+
+
+def o_token_sim() -> str:
+    return f"""
+WITH {duck_prepped_cte()},
+idx AS (
+  SELECT DISTINCT name, token FROM (
+    SELECT name, unnest(bag_shared) AS token FROM prepped
+  ) WHERE token <> ''
+),
+pairs AS (
+  SELECT a.name AS name, b.name AS match
+  FROM idx a JOIN idx b ON a.token = b.token AND a.name < b.name
+  GROUP BY a.name, b.name
+),
+ta AS (
+  SELECT p.name, p.match, t.tok_a FROM pairs p
+  JOIN (SELECT name, unnest(bag_clean) AS tok_a FROM prepped) t ON p.name = t.name
+),
+crossed AS (
+  SELECT ta.name, ta.match, ta.tok_a, t.tok_b,
+         jaro_similarity(ta.tok_a, t.tok_b) AS s
+  FROM ta JOIN (SELECT name AS match, unnest(bag_clean) AS tok_b FROM prepped) t
+    ON ta.match = t.match
+),
+best_a AS (
+  SELECT name, match, tok_a, max(s) AS bs FROM crossed GROUP BY name, match, tok_a
+),
+me_ab AS (SELECT name, match, avg(bs) AS m FROM best_a GROUP BY name, match),
+best_b AS (
+  SELECT name, match, tok_b, max(s) AS bs FROM crossed GROUP BY name, match, tok_b
+),
+me_ba AS (SELECT name, match, avg(bs) AS m FROM best_b GROUP BY name, match)
+SELECT a.name, a.match, round(least(a.m, b.m), 6) AS token_sim
+FROM me_ab a JOIN me_ba b ON a.name = b.name AND a.match = b.match
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (rows-only: binary payloads + pandas UDFs are not
+# single-query SQL; the driver records the weaker check)
+# ---------------------------------------------------------------------------
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media manifest → stub fetch → fake decode over the fixture's
+    interleaved spans table (schema/batching plumbing is real; codec is a
+    deterministic test double — see operators/media.py)."""
+    import os
+
+    from .datagen import ensure_fixtures, sf_from_path
+    from .operators.media import decode_image_features, fetch_media_stub, media_manifest
+
+    fx = ensure_fixtures(sf_from_path(sf_dir))
+    docs = spark.read.parquet(os.path.join(fx, "documents_spans.parquet"))
+    manifest = media_manifest(docs)
+    fetched = fetch_media_stub(manifest)
+    decoded = decode_image_features(fetched, fake=True)
+    return decoded.select(
+        "doc_id",
+        "media_ref",
+        "width",
+        "height",
+        F.round(F.expr("aggregate(features, 0D, (a, x) -> a + x)"), 6).alias("feat_sum"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_topk": q_embedding_topk,
+    "ann_buckets": q_ann_buckets,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "span_extract": q_span_extract,
+    "token_sim": q_token_sim,
+    "media_pipeline": q_media_pipeline,
+}
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": o_dedup_exact(),
+    "dedup_jaccard": o_dedup_jaccard(),
+    "dedup_minhash": o_dedup_minhash(),
+    "dedup_simhash": o_dedup_simhash(),
+    "simhash_pairs": o_simhash_pairs(),
+    "embedding_topk": o_embedding_topk(),
+    "ann_buckets": o_ann_buckets(),
+    "token_counts": o_token_counts(),
+    "quality_scores": o_quality(),
+    "lang_id": o_lang_id(),
+    "fingerprints": o_fingerprints(),
+    "span_extract": o_span_extract(),
+    "token_sim": o_token_sim(),
+    # media_pipeline: rows-only (binary + pandas-UDF pipeline)
+}

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring what a 100 TB training-data pipeline needs:
+
+- **brute-force cosine top-k** — the correctness baseline. Dot products via
+  ``aggregate(zip_with(...))`` (sequential in-index-order summation →
+  deterministic, DuckDB-reproducible), ranking via a window. Cost
+  O(|Q|·|N|·d) — fine for |Q| small or as the within-bucket scorer.
+- **random-hyperplane LSH (SimHash for vectors)** — the scale path:
+  sign-pattern bucket per vector from ``planes`` deterministic integer
+  hyperplanes; candidates = same-bucket (or multi-probe neighboring
+  buckets); exact cosine re-rank inside buckets. Hyperplane components are
+  rational ((p·2654435761 + i·40503) mod 2001 − 1000) so both engines
+  compute identical signs — no RNG, no floats in the plane definition.
+
+Everything is expression-only (no UDFs): zip_with/aggregate stay inside
+codegen, and the bucket join is a plain shuffle join AQE can size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt({_dot_expr(a, a)})"
+
+
+def with_unit_vectors(
+    emb: DataFrame, vec_col: str = "embedding", out: str = "unit"
+) -> DataFrame:
+    """L2-normalize (double precision) — cosine becomes a plain dot."""
+    d = emb.withColumn("_v", F.expr(f"transform({vec_col}, x -> cast(x as double))"))
+    return (
+        d.withColumn("_n", F.expr(_norm_expr("_v")))
+        .where(F.col("_n") > 0)
+        .withColumn(out, F.expr("transform(_v, x -> x / _n)"))
+        .drop("_v", "_n")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest
+    non-identical vectors. Output (query_id, neighbor_id, cosine, rank).
+
+    Ranking is on the *rounded* cosine with neighbor id as tie-break, so
+    results are stable across engines and shuffle orders.
+    """
+    q = with_unit_vectors(queries, vec_col, "qu").select(
+        F.col(id_col).alias("query_id"), "qu"
+    )
+    n = with_unit_vectors(emb, vec_col, "nu").select(
+        F.col(id_col).alias("neighbor_id"), "nu"
+    )
+    dots = (
+        q.crossJoin(n)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(_dot_expr("qu", "nu")))
+    )
+    if round_digits is not None:
+        dots = dots.withColumn("cosine", F.round("cosine", round_digits))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        dots.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_expr(vec_col: str, plane: int, dim: int) -> str:
+    """Deterministic rational hyperplane dot product: sum_i v[i]·c(plane,i)
+    with c = ((plane·2654435761 + i·40503) mod 2001) − 1000 ∈ [−1000, 1000].
+    Integer arithmetic for the coefficients ⇒ cross-engine identical."""
+    return (
+        f"aggregate(zip_with({vec_col}, "
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> cast(({plane} * 2654435761L + i * 40503L) % 2001 - 1000 as double)), "
+        f"(x, c) -> cast(x as double) * c), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def rp_lsh_buckets(
+    emb: DataFrame,
+    planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, bucket): sign-pattern bucket over ``planes`` hyperplanes.
+    Borderline dots are rounded to 6 digits before the sign test so both
+    engines agree on the (measure-zero) boundary."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    bits = " + ".join(
+        f"(CASE WHEN round({hyperplane_expr(vec_col, p, dim)}, 6) >= 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {p}) ELSE 0 END)"
+        for p in range(planes)
+    )
+    return emb.select(
+        F.col(id_col).alias("id"), F.expr(bits).alias("bucket")
+    )
+
+
+def ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: LSH bucket join + exact cosine re-rank inside the
+    bucket. At scale the bucket join replaces the |Q|×|N| cross join with
+    |Q|·E[bucket size]; recall is tuned by ``planes`` (fewer planes → bigger
+    buckets → higher recall, more compute)."""
+    dim = len(emb.select(vec_col).first()[0])
+    nb = rp_lsh_buckets(emb, planes, id_col, vec_col, dim).withColumnsRenamed(
+        {"id": "neighbor_id"}
+    )
+    qb = rp_lsh_buckets(queries, planes, id_col, vec_col, dim).withColumnsRenamed(
+        {"id": "query_id"}
+    )
+    n = with_unit_vectors(emb, vec_col, "nu").select(
+        F.col(id_col).alias("neighbor_id"), "nu"
+    ).join(nb, "neighbor_id")
+    q = with_unit_vectors(queries, vec_col, "qu").select(
+        F.col(id_col).alias("query_id"), "qu"
+    ).join(qb, "query_id")
+    dots = (
+        q.join(n, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(F.expr(_dot_expr("qu", "nu")), 5))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold) via bucket-blocked
+    exact scoring. High thresholds pair with few planes: cos ≥ 0.95 ⇒
+    angle ≤ 18°, P[same bucket] = (1 − θ/π)^planes ≈ 0.66 at 8 planes —
+    run with two plane seeds at scale for recall; here one pass is the
+    documented recall/compute tradeoff."""
+    dim = len(emb.select(vec_col).first()[0])
+    b = rp_lsh_buckets(emb, planes, id_col, vec_col, dim)
+    u = with_unit_vectors(emb, vec_col, "u").select(F.col(id_col).alias("id"), "u").join(b, "id")
+    a = u.select(F.col("id").alias("id_a"), F.col("u").alias("ua"), "bucket")
+    c = u.select(F.col("id").alias("id_b"), F.col("u").alias("ub"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(F.expr(_dot_expr("ua", "ub")), 5))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

@@ -1,0 +1,152 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All expression-only (regexp/array builtins — whole-stage codegen, no
+Python), each independently oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_int_expr
+
+# compact function-word profiles; ratio-of-hits argmax. On real corpora
+# these are the top-20 stopwords per language; the classifier is the
+# standard closed-class-word profile method (n-gram-free variant).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不", "这", "个"),
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"] + (
+    "was", "with", "as", "on", "be", "at", "by", "this", "are", "or",
+)
+
+
+def _arr(words) -> str:
+    return "array(" + ",".join("'" + w.replace("'", "\\'") + "'" for w in words) + ")"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens, chars): whitespace tokens plus a
+    BPE-ish proxy (\\w+ runs and single non-space symbols count separately —
+    the standard pre-tokenizer split a byte-pair encoder sees)."""
+    return docs.select(
+        id_col,
+        F.expr(f"size(filter(split({text_col}, ' '), t -> t <> ''))")
+        .cast("bigint")
+        .alias("ws_tokens"),
+        F.expr(f"size(regexp_extract_all({text_col}, '\\\\w+|[^\\\\w\\\\s]', 0))")
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.length(text_col).cast("bigint").alias("chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+    quality): length/punctuation/stopword heuristics à la C4/Gopher rules,
+    combined into one [0,1] score."""
+    toks = f"filter(split({text_col}, ' '), t -> t <> '')"
+    d = docs.select(
+        id_col,
+        F.col(text_col).alias("_t"),
+        F.expr(f"size({toks})").alias("_n"),
+        F.expr(f"aggregate({toks}, 0, (a, t) -> a + length(t))").alias("_len_sum"),
+        F.expr(
+            f"size(filter({toks}, t -> array_contains({_arr(STOPWORDS_EN)}, lower(t))))"
+        ).alias("_stop"),
+        F.expr(f"size(regexp_extract_all({text_col}, '[^\\\\w\\\\s]', 0))").alias("_punct"),
+    )
+    d = d.select(
+        id_col,
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.round(F.when(F.col("_n") > 0, F.col("_len_sum") / F.col("_n")).otherwise(0.0), 6)
+        .alias("avg_token_len"),
+        F.round(
+            F.when(F.length("_t") > 0, F.col("_punct") / F.length("_t")).otherwise(0.0), 6
+        ).alias("punct_ratio"),
+        F.round(F.when(F.col("_n") > 0, F.col("_stop") / F.col("_n")).otherwise(0.0), 6)
+        .alias("stopword_ratio"),
+    )
+    # quality: in-range token count, word lengths, some but not all stopwords
+    return d.withColumn(
+        "quality",
+        F.round(
+            (F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000), 0.4).otherwise(0.0))
+            + (F.when((F.col("avg_token_len") >= 2) & (F.col("avg_token_len") <= 12), 0.3).otherwise(0.0))
+            + (F.when(F.col("stopword_ratio") >= 0.01, 0.2).otherwise(0.0))
+            + (F.when(F.col("punct_ratio") <= 0.2, 0.1).otherwise(0.0)),
+            6,
+        ),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pred_lang, lang_score): stopword-profile argmax with
+    deterministic tie-break on language code."""
+    toks = f"filter(split(lower({text_col}), ' '), t -> t <> '')"
+    hits = [
+        F.expr(
+            f"size(filter({toks}, t -> array_contains({_arr(ws)}, t)))"
+        ).alias(f"_h_{lang}")
+        for lang, ws in sorted(LANG_PROFILES.items())
+    ]
+    d = docs.select(id_col, F.expr(f"size({toks})").alias("_n"), *hits)
+    scores = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('lang', '{lang}', 'score', "
+            f"CASE WHEN _n > 0 THEN round(_h_{lang} / _n, 6) ELSE 0.0 END)"
+            for lang in sorted(LANG_PROFILES)
+        )
+        + ")"
+    )
+    best = (
+        "array_sort(_scores, (l, r) -> CASE WHEN l.score > r.score THEN -1 "
+        "WHEN l.score < r.score THEN 1 "
+        "WHEN l.lang < r.lang THEN -1 WHEN l.lang > r.lang THEN 1 ELSE 0 END)[0]"
+    )
+    return (
+        d.withColumn("_scores", scores)
+        .withColumn("_best", F.expr(best))
+        .select(
+            id_col,
+            F.col("_best.lang").alias("pred_lang"),
+            F.col("_best.score").alias("lang_score"),
+        )
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    mod: int = 8,
+) -> DataFrame:
+    """(doc_id, fp): mod-p fingerprint selection — hash every word n-gram,
+    keep hashes ≡ 0 (mod ``mod``). The classic 0-mod-p document sketch
+    (winnowing's simpler cousin): ~1/mod of the shingles survive, matching
+    shingles always produce matching fingerprints across documents."""
+    toks = f"filter(split({text_col}, ' '), t -> t <> '')"
+    # sequence(1, 0) descends in Spark — guard short docs explicitly
+    sh = (
+        f"IF(size({toks}) >= {n}, "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')), "
+        f"CAST(array() AS array<string>))"
+    )
+    h = md5_int_expr("shingle")
+    return (
+        docs.select(F.col(id_col), F.explode(F.expr(sh)).alias("shingle"))
+        .withColumn("fp", F.expr(h))
+        .where(F.col("fp") % mod == 0)
+        .select(id_col, "fp")
+        .distinct()
+    )

@@ -1,0 +1,145 @@
+"""Property tests for dedup / similarity / textstats / media operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from name_matching_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from name_matching_spark.operators.media import (
+    decode_image_features,
+    fetch_media_stub,
+    media_manifest,
+)
+from name_matching_spark.operators.similarity import (
+    ann_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+from name_matching_spark.operators.textstats import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (2, "quick brown fox jumps over the lazy dog near the river bank"),      # near dup
+        (3, "der hund und die katze sind nicht mit der maus zu hause"),
+        (4, "completely different words about spark shuffle partitions and joins"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {r["doc_id"]: (r["keep_id"], r["group_size"]) for r in exact_duplicates(docs).collect()}
+    assert out[0] == (0, 2) and out[1] == (0, 2)
+    assert out[2] == (2, 1)
+
+
+def test_ngram_jaccard(docs):
+    pairs, _ = ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 1)] == pytest.approx(1.0)       # identical text
+    assert got[(0, 2)] > 0.5                        # near dup
+    assert (0, 4) not in got and (3, 4) not in got  # unrelated
+
+
+def test_minhash_lsh(docs):
+    cand = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    got = {(r["id_a"], r["id_b"]): r["n_bands"] for r in cand.collect()}
+    assert got[(0, 1)] == 4                        # identical → all bands collide
+    assert got.get((0, 2), 0) >= 1                 # near dup collides somewhere
+    assert (0, 4) not in got
+
+
+def test_simhash(docs):
+    sims = simhash(docs)
+    vals = {r["id"]: r["simhash"] for r in sims.collect()}
+    assert vals[0] == vals[1]
+    # 8 bands over 48 bits guarantee a band collision for hamming ≤ 7
+    pairs = simhash_near_pairs(sims, bits=48, bands=8, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert got.get((0, 2), 99) <= 6  # actual hamming is 5
+    assert (0, 4) not in got
+
+
+def test_cosine_topk_and_ann(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype("float32")
+    base[1] = base[0] + rng.randn(16).astype("float32") * 0.01  # near dup of 0
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = emb.where("vec_id < 3")
+    bf = cosine_topk(emb, q, k=3)
+    top = {r["query_id"]: r["neighbor_id"] for r in bf.where("rank = 1").collect()}
+    assert top[0] == 1 and top[1] == 0
+    # ANN recall@1 vs brute force on the same queries
+    ann = ann_topk(emb, q, k=3, planes=4)
+    ann_top = {r["query_id"]: r["neighbor_id"] for r in ann.where("rank = 1").collect()}
+    assert ann_top.get(0) == 1  # near-identical vectors share every bucket
+    nd = embedding_near_dup_pairs(emb, threshold=0.99, planes=4)
+    assert (0, 1) in {(r["id_a"], r["id_b"]) for r in nd.collect()}
+
+
+def test_textstats(docs):
+    tc = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert tc[0]["ws_tokens"] == 13
+    assert tc[5]["ws_tokens"] == 0
+    qs = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert qs[0]["quality"] > qs[5]["quality"]
+    assert qs[0]["stopword_ratio"] > 0
+    li = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert li[0] == "en"
+    assert li[3] == "de"
+    fp = fingerprints(docs, n=3, mod=2)
+    by_doc = fp.groupBy("doc_id").count().collect()
+    ids = {r["doc_id"] for r in by_doc}
+    assert 0 in ids and 1 in ids
+    # identical docs → identical fingerprint sets
+    s0 = {r["fp"] for r in fp.where("doc_id = 0").collect()}
+    s1 = {r["fp"] for r in fp.where("doc_id = 1").collect()}
+    assert s0 == s1 and s0
+
+
+def test_media_pipeline(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", [
+                {"kind": "media", "text": None, "media_ref": "m://a", "offset": 0},
+                {"kind": "text", "text": "ACME OIL", "media_ref": None, "offset": 1},
+                {"kind": "media", "text": None, "media_ref": "m://b", "offset": 2},
+            ]),
+            ("d2", [{"kind": "text", "text": "BOLT GAS", "media_ref": None, "offset": 0}]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    man = media_manifest(docs)
+    rows = man.orderBy("doc_id", "span_index").collect()
+    assert [(r["doc_id"], r["media_ref"], r["span_index"]) for r in rows] == [
+        ("d1", "m://a", 0), ("d1", "m://b", 2),
+    ]
+    fetched = fetch_media_stub(man)
+    decoded = decode_image_features(fetched, fake=True).collect()
+    assert len(decoded) == 2
+    d = {r["media_ref"]: r for r in decoded}
+    assert len(d["m://a"]["features"]) == 8
+    assert d["m://a"]["width"] >= 1 and d["m://a"]["height"] >= 1
+    # determinism
+    again = {r["media_ref"]: r for r in decode_image_features(fetched, fake=True).collect()}
+    assert again["m://a"]["features"] == d["m://a"]["features"]
+    # non-fake path is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_image_features(fetched, fake=False).collect()
