@@ -179,6 +179,12 @@ def _qgram_codes(mat: np.ndarray, lengths: np.ndarray, q: int) -> np.ndarray:
 
 
 def _qgram_cosine_chunk(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
+    """Sparse sort-based cosine: O(total q-grams · log) time and memory.
+
+    (The obvious dense (chunk × vocab) histogram is O(chunk² · len) memory —
+    at 10k-row Arrow batches that is gigabytes per worker and collapses
+    under 32 concurrent executors; this version is flat.)
+    """
     n = len(a)
     if n == 0:
         return np.empty(0, dtype=np.float64)
@@ -186,24 +192,46 @@ def _qgram_cosine_chunk(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
     B, lb = _encode(b, pad=-2)
     ca = _qgram_codes(A, la, q)
     cb = _qgram_codes(B, lb, q)
-    # joint vocabulary over the chunk
-    allc = np.concatenate([ca.ravel(), cb.ravel()])
-    vocab, inv = np.unique(allc, return_inverse=True)
-    V = len(vocab)
-    inv_a = inv[: ca.size].reshape(ca.shape)
-    inv_b = inv[ca.size :].reshape(cb.shape)
-    rows = np.arange(n)
-    ha = np.zeros((n, V), dtype=np.float64)
-    hb = np.zeros((n, V), dtype=np.float64)
-    np.add.at(ha, (np.repeat(rows, ca.shape[1]), inv_a.ravel()), 1.0)
-    np.add.at(hb, (np.repeat(rows, cb.shape[1]), inv_b.ravel()), 1.0)
-    if (vocab == -1).any():
-        sent = np.nonzero(vocab == -1)[0][0]
-        ha[:, sent] = 0.0
-        hb[:, sent] = 0.0
-    dot = (ha * hb).sum(axis=1)
-    na = np.sqrt((ha * ha).sum(axis=1))
-    nb = np.sqrt((hb * hb).sum(axis=1))
+
+    def _flat(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        rows = np.repeat(np.arange(n), codes.shape[1])
+        flat = codes.ravel()
+        ok = flat != -1
+        return rows[ok], flat[ok]
+
+    ra, fa = _flat(ca)
+    rb, fb = _flat(cb)
+    rows_all = np.concatenate([ra, rb])
+    codes_all = np.concatenate([fa, fb])
+    side = np.concatenate(
+        [np.zeros(len(ra), dtype=np.int8), np.ones(len(rb), dtype=np.int8)]
+    )
+    order = np.lexsort((side, codes_all, rows_all))
+    r, c, s = rows_all[order], codes_all[order], side[order]
+    # segment = run of equal (row, code)
+    if len(r):
+        new_seg = np.empty(len(r), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        seg = np.cumsum(new_seg) - 1
+        nseg = seg[-1] + 1
+        cnt_a = np.zeros(nseg, dtype=np.float64)
+        cnt_b = np.zeros(nseg, dtype=np.float64)
+        np.add.at(cnt_a, seg[s == 0], 1.0)
+        np.add.at(cnt_b, seg[s == 1], 1.0)
+        seg_row = r[new_seg]
+        dot = np.zeros(n, dtype=np.float64)
+        na2 = np.zeros(n, dtype=np.float64)
+        nb2 = np.zeros(n, dtype=np.float64)
+        np.add.at(dot, seg_row, cnt_a * cnt_b)
+        np.add.at(na2, seg_row, cnt_a * cnt_a)
+        np.add.at(nb2, seg_row, cnt_b * cnt_b)
+    else:
+        dot = np.zeros(n)
+        na2 = np.zeros(n)
+        nb2 = np.zeros(n)
+    na = np.sqrt(na2)
+    nb = np.sqrt(nb2)
     with np.errstate(divide="ignore", invalid="ignore"):
         cos = dot / (na * nb)
     out = 1.0 - cos

@@ -1,0 +1,92 @@
+"""Resume semantics: kill after stage k → re-run skips ≤ k, output identical."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from name_matching_spark.checkpoint import (
+    CheckpointManager,
+    resolve_entities_checkpointed,
+)
+from name_matching_spark.datagen import ensure_fixtures
+
+
+def test_stage_skip_and_recompute(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    calls = []
+
+    def build(tag):
+        def _fn():
+            calls.append(tag)
+            return spark.range(5).withColumn("tag", F.lit(tag))
+        return _fn
+
+    m1 = CheckpointManager(root, spark)
+    m1.stage("a", build("a"), params=1)
+    m1.stage("b", build("b"), depends_on=["a"], params=2)
+    assert calls == ["a", "b"]
+
+    # fresh manager (≈ new process): both stages skip
+    m2 = CheckpointManager(root, spark)
+    df_a = m2.stage("a", build("a2"), params=1)
+    df_b = m2.stage("b", build("b2"), depends_on=["a"], params=2)
+    assert calls == ["a", "b"]
+    assert df_a.count() == 5 and df_b.count() == 5
+    assert m2.results["a"].skipped and m2.results["b"].skipped
+
+    # changed params on a → a recomputes AND b recomputes (fingerprint chain)
+    m3 = CheckpointManager(root, spark)
+    m3.stage("a", build("a3"), params=99)
+    m3.stage("b", build("b3"), depends_on=["a"], params=2)
+    assert calls == ["a", "b", "a3", "b3"]
+
+
+def test_lineage_metrics(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(root, spark)
+    mgr.stage(
+        "scores",
+        lambda: spark.range(100).withColumn("s", (F.col("id") % 10) / 10.0),
+        score_cols=["s"],
+    )
+    lin = mgr.lineage("scores")
+    assert lin.agg(F.sum("rows")).collect()[0][0] == 100
+    hist = spark.read.parquet(os.path.join(root, "_lineage", "scores", "hist_s"))
+    rows = {r["bin"]: r["n"] for r in hist.collect()}
+    assert sum(rows.values()) == 100 and rows[0] == 10
+
+
+def test_pipeline_resume_identical(spark, tmp_path):
+    fx = ensure_fixtures("sf0.001")
+    docs = spark.read.parquet(os.path.join(fx, "documents_spans.parquet"))
+    addr = spark.read.parquet(os.path.join(fx, "addresses.parquet"))
+    labels = spark.read.parquet(os.path.join(fx, "labeled_pairs.parquet"))
+    root = str(tmp_path / "pipeline_ckpt")
+
+    mgr1, clusters1 = resolve_entities_checkpointed(
+        docs, root, addresses=addr, labels=labels, num_trees=20,
+        corpus_fingerprint="sf0.001",
+    )
+    out1 = sorted((r["name"], r["group_name"]) for r in clusters1.collect())
+    assert not any(r.skipped for r in mgr1.results.values())
+
+    # "kill + restart": fresh manager over the same dir → all stages skipped,
+    # byte-identical output
+    mgr2, clusters2 = resolve_entities_checkpointed(
+        docs, root, addresses=addr, labels=labels, num_trees=20,
+        corpus_fingerprint="sf0.001",
+    )
+    out2 = sorted((r["name"], r["group_name"]) for r in clusters2.collect())
+    assert out1 == out2
+    assert all(r.skipped for r in mgr2.results.values())
+
+    # parameter change downstream: upstream stages still skip, prescreen+cluster rerun
+    mgr3, _ = resolve_entities_checkpointed(
+        docs, root, addresses=addr, labels=labels, num_trees=21,
+        corpus_fingerprint="sf0.001",
+    )
+    assert mgr3.results["extract_names"].skipped
+    assert mgr3.results["match_names"].skipped
+    assert not mgr3.results["pre_screen"].skipped
+    assert not mgr3.results["cluster"].skipped
