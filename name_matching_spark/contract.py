@@ -507,7 +507,7 @@ def o_connected_components() -> str:
 WITH RECURSIVE edges AS (
   SELECT u, v FROM ({EDGE_SQL}) WHERE u <> v
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT u, v FROM edges UNION SELECT v, u FROM edges
 ),
 nodes AS (SELECT DISTINCT u AS n FROM sym),
@@ -548,7 +548,7 @@ pairs AS (
   GROUP BY a.name, b.name
   HAVING count(*) >= 2
 ),
-sym AS (
+sym AS MATERIALIZED (
   SELECT name AS u, match AS v FROM pairs
   UNION SELECT match, name FROM pairs
 ),

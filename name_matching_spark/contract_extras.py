@@ -560,6 +560,178 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# cluster-of-clusters round 2 (§2.8) + notifications (§2.11)
+# ---------------------------------------------------------------------------
+
+def q_group_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 2: first-round clusters (shared_words≥2 edges) whose group
+    names are tf-idf-cosine ≥ 0.65 similar get merged; members relabeled to
+    the alphabetically-first group name, cluster ids re-densified."""
+    from .contract import _spark_prepped
+    from .operators.blocking import shared_word_pairs
+    from .operators.cc import name_clusters
+    from .operators.grouping import regroup_clusters
+    from .operators.tfidf import tfidf_cosine_pairs
+    from .pipeline import prepare_names
+
+    prepped = _spark_prepped(spark, sf_dir)
+    scored, _ = shared_word_pairs(prepped, "bag_shared", max_block=1_000_000)
+    clusters = name_clusters(
+        scored.where(F.col("shared_words") >= 2).select("name", "match")
+    ).localCheckpoint(eager=True)
+    gnames = clusters.select(F.col("group_name").alias("name")).distinct()
+    gp = prepare_names(gnames).where(F.col("clean_name") != "")
+    gpairs = tfidf_cosine_pairs(gp, "bag_clean", threshold=0.65).select("name", "match")
+    return regroup_clusters(clusters, gpairs).select(
+        "name", F.col("cluster").cast("bigint").alias("cluster"), "group_name"
+    )
+
+
+def o_group_round2() -> str:
+    from .contract import duck_clean_expr, duck_prepped_cte
+
+    return f"""
+WITH RECURSIVE {duck_prepped_cte()},
+idx AS (
+  SELECT DISTINCT name, token FROM (
+    SELECT name, unnest(bag_shared) AS token FROM prepped
+  ) WHERE token <> ''
+),
+pairs AS (
+  SELECT a.name AS name, b.name AS match
+  FROM idx a JOIN idx b ON a.token = b.token AND a.name < b.name
+  GROUP BY a.name, b.name HAVING count(*) >= 2
+),
+sym AS MATERIALIZED (SELECT name AS u, match AS v FROM pairs UNION SELECT match, name FROM pairs),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION SELECT r.n, s.v FROM reach r JOIN sym s ON s.u = r.m
+),
+comp AS MATERIALIZED (SELECT n AS name, min(m) AS group_name FROM reach GROUP BY n),
+clusters AS MATERIALIZED (SELECT name, group_name FROM comp WHERE name <> group_name),
+gnames AS (SELECT DISTINCT group_name AS name FROM clusters),
+gprep0 AS (
+  SELECT name, {duck_clean_expr("name", "clean_name", drop_common=True)} FROM gnames
+),
+gprep AS (
+  SELECT name, clean_name,
+         CASE WHEN clean_name = '' THEN []::VARCHAR[]
+              ELSE string_split(clean_name, ' ') END AS bag
+  FROM gprep0 WHERE clean_name <> ''
+),
+gtoks AS (SELECT name, token FROM (SELECT name, unnest(bag) AS token FROM gprep) WHERE token <> ''),
+gcounts AS (SELECT name, token, count(*) AS cnt FROM gtoks GROUP BY name, token),
+gnn AS (SELECT count(DISTINCT name) AS n_names FROM gprep),
+gdf AS (SELECT token, count(*) AS df FROM gcounts GROUP BY token),
+gw AS (
+  SELECT c.name, c.token, c.cnt * ln(1 + nn.n_names / d.df) AS w
+  FROM gcounts c, gnn nn JOIN gdf d ON c.token = d.token
+),
+gnorm AS (SELECT name, sqrt(sum(w * w)) AS nrm FROM gw GROUP BY name),
+gpairs AS (
+  SELECT p.name AS u, p.match AS v FROM (
+    SELECT a.name AS name, b.name AS match, sum(a.w * b.w) AS dot
+    FROM gw a JOIN gw b ON a.token = b.token AND a.name < b.name
+    GROUP BY a.name, b.name
+  ) p
+  JOIN gnorm na ON p.name = na.name
+  JOIN gnorm nb ON p.match = nb.name
+  WHERE p.dot / na.nrm / nb.nrm >= 0.65
+),
+gsym AS MATERIALIZED (SELECT u, v FROM gpairs UNION SELECT v, u FROM gpairs),
+gnodes AS (SELECT DISTINCT u AS n FROM gsym),
+greach(n, m) AS (
+  SELECT n, n FROM gnodes
+  UNION SELECT r.n, s.v FROM greach r JOIN gsym s ON s.u = r.m
+),
+gcomp AS (SELECT n AS group_name, min(m) AS new_g FROM greach GROUP BY n),
+relabeled AS (
+  SELECT c.name, coalesce(g.new_g, c.group_name) AS group_name
+  FROM clusters c LEFT JOIN gcomp g ON c.group_name = g.group_name
+  UNION
+  SELECT group_name AS name, new_g AS group_name FROM gcomp WHERE group_name <> new_g
+),
+ids AS (
+  SELECT group_name, CAST(dense_rank() OVER (ORDER BY group_name) AS BIGINT) AS cluster
+  FROM (SELECT DISTINCT group_name FROM relabeled)
+)
+SELECT r.name, i.cluster, r.group_name
+FROM relabeled r JOIN ids i ON r.group_name = i.group_name
+WHERE r.name <> r.group_name
+"""
+
+
+_NOTIF_SCREENED = [
+    ("A CO", "A CORP", "BOX 1 TX"),
+    ("B LLC", "B LP", None),
+    ("D INC", "D LTD", "5 MAIN ST"),
+]
+_NOTIF_REVIEWED = [
+    ("A CO", "A CORP", 0),
+    ("B LLC", "B LP", 1),
+    ("C1", "C2", 1),
+]
+_NOTIF_PRIOR = [("C1", "C0"), ("C2", "C0"), ("E2", "E1")]
+
+
+def q_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 notification tables, unioned with a tag column."""
+    from .operators.grouping import notifications
+
+    screened = spark.createDataFrame(
+        _NOTIF_SCREENED, "name string, match string, address string"
+    )
+    reviewed = spark.createDataFrame(_NOTIF_REVIEWED, ["name", "match", "keep"])
+    prior = spark.createDataFrame(_NOTIF_PRIOR, ["name", "group_name"])
+    prev_non, inferred = notifications(screened, reviewed, prior)
+    return prev_non.select(
+        "name", "match", F.lit("previous_non_pair").alias("kind")
+    ).unionByName(
+        inferred.select("name", "match", F.lit("inferred_match").alias("kind"))
+    )
+
+
+def o_notifications() -> str:
+    from .contract_human import _values
+
+    scr = _values(_NOTIF_SCREENED, ["name", "match", "address"])
+    rev = _values(_NOTIF_REVIEWED, ["name", "match", "keep"])
+    pri = _values(_NOTIF_PRIOR, ["name", "group_name"])
+    return f"""
+WITH screened AS (SELECT * FROM {scr}),
+reviewed AS (
+  SELECT least(name, match) AS name, greatest(name, match) AS match, keep
+  FROM {rev}
+),
+prior AS (SELECT * FROM {pri}),
+prev_non AS (
+  SELECT DISTINCT least(s.name, s.match) AS name, greatest(s.name, s.match) AS match,
+         'previous_non_pair' AS kind
+  FROM screened s
+  JOIN reviewed r
+    ON least(s.name, s.match) = r.name AND greatest(s.name, s.match) = r.match
+  WHERE s.address IS NOT NULL AND r.keep = 0
+),
+full_c AS (
+  SELECT name, group_name FROM prior
+  UNION SELECT group_name, group_name FROM prior
+),
+completed AS (
+  SELECT DISTINCT least(a.name, b.name) AS name, greatest(a.name, b.name) AS match
+  FROM full_c a JOIN full_c b ON a.group_name = b.group_name AND a.name < b.name
+),
+inferred AS (
+  SELECT c.name, c.match, 'inferred_match' AS kind
+  FROM completed c
+  LEFT JOIN reviewed r ON c.name = r.name AND c.match = r.match
+  WHERE r.name IS NULL
+)
+SELECT * FROM prev_non UNION ALL SELECT * FROM inferred
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -575,6 +747,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_extract": q_span_extract,
     "token_sim": q_token_sim,
     "media_pipeline": q_media_pipeline,
+    "group_round2": q_group_round2,
+    "notifications": q_notifications,
 }
 
 ORACLES: dict[str, str] = {
@@ -592,4 +766,6 @@ ORACLES: dict[str, str] = {
     "span_extract": o_span_extract(),
     "token_sim": o_token_sim(),
     # media_pipeline: rows-only (binary + pandas-UDF pipeline)
+    "group_round2": o_group_round2(),
+    "notifications": o_notifications(),
 }
