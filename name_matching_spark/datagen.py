@@ -298,8 +298,21 @@ def generate_corpus(n_entities: int = 200, seed: int = 42,
 # scale-factor → entity count (roughly matching driver testdata row budgets)
 SF_ENTITIES = {"sf0.001": 60, "sf0.01": 250, "sf0.1": 1500, "sf1": 12000}
 
-FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "fixtures") \
-    if "__file__" in globals() else "/root/repo/data/fixtures"
+def _fixture_root() -> str:
+    if "SPARK_GRAFT_FIXTURES" in os.environ:
+        return os.environ["SPARK_GRAFT_FIXTURES"]
+    if "__file__" in globals():
+        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # under spark-submit --py-files the package lives inside a zip —
+        # not a writable directory; fall back to a tmp root there
+        if os.path.isdir(pkg_parent):
+            return os.path.join(pkg_parent, "data", "fixtures")
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "nm_spark_fixtures")
+
+
+FIXTURE_ROOT = _fixture_root()
 
 
 def fixture_dir(sf: str) -> str:

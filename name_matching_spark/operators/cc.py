@@ -86,6 +86,8 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # eager checkpoint per round: measured faster than lazy + checksum
+    # (lazy localCheckpoint recomputes under the aggregate-only action)
     e = e.localCheckpoint(eager=True)
     prev = _checksum(e)
     for _ in range(max_iter):
