@@ -625,6 +625,86 @@ def _duck_bag_shared() -> str:
     return duck_bag_cte("name", "bag_shared", drop_common=True, comma_to_space=False)
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 exact interpolated percentiles (R type-7 ≡ Spark percentile ≡
+    DuckDB quantile_cont) of the corpus name counts."""
+    from .operators.prescreen import count_percentiles
+
+    counts = _corpus_df(spark, sf_dir)
+    p70, p90 = count_percentiles(counts)
+    return spark.createDataFrame(
+        [(round(p70, 6), round(p90, 6))], "p70 double, p90 double"
+    )
+
+
+def o_percentiles() -> str:
+    return f"""
+WITH {CORPUS_CTE}
+SELECT round(quantile_cont(n, 0.7), 6) AS p70,
+       round(quantile_cont(n, 0.9), 6) AS p90
+FROM names
+"""
+
+
+GEO_CACHE = [
+    ("123 MAIN ST, MIDLAND, TX 79701", "CACHED:123-MAIN"),
+    ("DRAWER 99, HOUSTON, TX 77002", "CACHED:DRAWER-99"),
+]
+
+
+def q_geocode_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10/§2.11 geocode-cache contract: cached rows win; only new
+    addresses are normalized (left_anti + union)."""
+    from .operators.address import code_addresses
+
+    cache = spark.createDataFrame(GEO_CACHE, ["address", "coded_address"])
+    return code_addresses(_addr_df(spark), coded_cache=cache)
+
+
+def o_geocode_cache() -> str:
+    coded = o_address_code().strip()
+    cache = _values(GEO_CACHE, ["address", "coded_address"])
+    return f"""
+WITH coded AS ({coded}),
+normalized AS (SELECT DISTINCT address, coded_address FROM coded),
+cache AS (SELECT * FROM {cache}),
+fresh AS (
+  SELECT n.* FROM normalized n
+  LEFT JOIN cache c ON n.address = c.address WHERE c.address IS NULL
+)
+SELECT address, coded_address FROM cache
+UNION ALL SELECT address, coded_address FROM fresh
+"""
+
+
+def q_pre_screen_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pre-screen stage incl. RF scoring over the fixture corpus —
+    rows-only (ML ensemble is not single-query SQL; the driver records the
+    weaker check). Returns the decision distribution for stability."""
+    import os
+
+    from .datagen import ensure_fixtures, sf_from_path
+    from .operators.address import match_addresses
+    from .operators.extract import extract_names
+    from .operators.prescreen import pre_screen
+    from .pipeline import match_names
+
+    fx = ensure_fixtures(sf_from_path(sf_dir))
+    docs = spark.read.parquet(os.path.join(fx, "documents_spans.parquet"))
+    addr = spark.read.parquet(os.path.join(fx, "addresses.parquet"))
+    labels = spark.read.parquet(os.path.join(fx, "labeled_pairs.parquet"))
+    names = extract_names(docs).localCheckpoint(eager=True)
+    master = match_names(names.select("name")).master
+    screened = pre_screen(
+        master, match_addresses(addr), names,
+        labeled_pairs=labels, num_trees=50, auto_accept=True,
+    )
+    return (
+        screened.groupBy(F.col("keep").cast("int").alias("keep"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "human_extract": q_human_extract,
     "human_pairs": q_human_pairs,
@@ -634,6 +714,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clique_completion": q_clique_completion,
     "keep_rules": q_keep_rules,
     "importance_distance": q_importance_distance,
+    "percentiles": q_percentiles,
+    "geocode_cache": q_geocode_cache,
+    "pre_screen_full": q_pre_screen_full,
 }
 
 ORACLES: dict[str, str] = {
@@ -645,4 +728,7 @@ ORACLES: dict[str, str] = {
     "clique_completion": o_clique_completion(),
     "keep_rules": o_keep_rules(),
     "importance_distance": o_importance_distance(),
+    "percentiles": o_percentiles(),
+    "geocode_cache": o_geocode_cache(),
+    # pre_screen_full: rows-only (RF ensemble not SQL-expressible)
 }

@@ -1,0 +1,118 @@
+"""Structured Streaming ingestion for the entity-resolution pipeline.
+
+The reference is batch-only (its "streaming" is re-runnable appends,
+SURVEY §2.11); this module is the extension a continuously-fed 10^12-doc
+table needs: as document files land, keep the name-frequency table current
+and surface *first-seen* names — the incremental input to a subsequent
+blocking/matching run.
+
+Design: `readStream` over the documents directory → span extraction
+(same Catalyst-native projection as batch) → ``foreachBatch`` writing
+**log-structured partial counts**: each micro-batch appends its per-name
+counts as parquet; readers aggregate partials (`read_name_counts`). This
+avoids read-modify-write on the running table entirely — appends are
+atomic, idempotent per micro-batch (checkpointed), and compaction is an
+orthogonal maintenance job — the parquet stand-in for an Iceberg MERGE.
+
+Exact-content dedup runs in the same pass: first-seen doc ids per content
+hash are tracked with ``dropDuplicates`` on the streaming side (state
+store), so downstream matching never sees a duplicate document twice.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SPANS_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def stream_documents(spark: SparkSession, source_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(SPANS_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+
+
+def start_name_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Stream documents → append per-batch (name, n) partials + first-seen
+    doc registry. Returns the StreamingQuery."""
+    docs = stream_documents(spark, source_dir)
+    # streaming-state exact dedup: only the first doc with a given content
+    # hash flows on (state store keyed by hash)
+    hashed = docs.withColumn("_h", F.md5(F.to_json("spans")))
+    fresh = hashed.dropDuplicates(["_h"])
+
+    counts_dir = os.path.join(table_dir, "name_counts")
+    seen_dir = os.path.join(table_dir, "docs_seen")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        names = (
+            batch.select(F.explode("spans").alias("s"))
+            .where(F.col("s.kind") == "text")
+            .where(F.col("s.text").isNotNull())
+            .groupBy(F.col("s.text").alias("name"))
+            .agg(F.count("*").alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        names.write.mode("append").parquet(counts_dir)
+        batch.select("doc_id", F.col("_h").alias("content_hash")).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(seen_dir)
+        batch.unpersist()
+
+    writer = (
+        fresh.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_name_counts(spark: SparkSession, table_dir: str) -> DataFrame:
+    """(name, n) — aggregate of the log-structured partials."""
+    partials = spark.read.parquet(os.path.join(table_dir, "name_counts"))
+    return partials.groupBy("name").agg(F.sum("n").alias("n"))
+
+
+def new_names_since(
+    spark: SparkSession, table_dir: str, since_batch: int
+) -> DataFrame:
+    """Names whose FIRST partial arrived after ``since_batch`` — the
+    incremental matching frontier."""
+    partials = spark.read.parquet(os.path.join(table_dir, "name_counts"))
+    first_seen = partials.groupBy("name").agg(F.min("batch_id").alias("first_batch"))
+    return first_seen.where(F.col("first_batch") > since_batch).select("name")
+
+
+def compact_name_counts(spark: SparkSession, table_dir: str) -> None:
+    """Maintenance: fold all partials into a single batch_id=-1 generation.
+    Readers are unaffected before/after (same aggregate)."""
+    counts_dir = os.path.join(table_dir, "name_counts")
+    agg = (
+        spark.read.parquet(counts_dir)
+        .groupBy("name")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("batch_id", F.lit(-1))
+    )
+    tmp = counts_dir + "_compacting"
+    agg.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(counts_dir)
+    os.rename(tmp, counts_dir)
