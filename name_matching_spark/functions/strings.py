@@ -132,18 +132,16 @@ def jaro_winkler_similarity(a, b, p: float = 0.1, max_prefix: int = 4) -> np.nda
     a_arr = _as_str_array(a)
     b_arr = _as_str_array(b)
     sim = jaro_similarity(a_arr, b_arr)
-    # common-prefix length up to max_prefix, vectorized over the batch
-    prefix = np.zeros(len(a_arr), dtype=np.float64)
-    live = np.ones(len(a_arr), dtype=bool)
-    for k in range(max_prefix):
-        for i in np.nonzero(live)[0]:
-            sa, sb = a_arr[i], b_arr[i]
-            if k < len(sa) and k < len(sb) and sa[k] == sb[k]:
-                prefix[i] += 1
-            else:
-                live[i] = False
-        if not live.any():
-            break
+    # common-prefix length up to max_prefix: encoded codepoint matrices +
+    # cumulative AND, fully vectorized across the batch (no per-row Python)
+    A, la = _encode(a_arr, pad=-1)
+    B, lb = _encode(b_arr, pad=-2)
+    k = min(max_prefix, A.shape[1], B.shape[1])
+    if k > 0:
+        eq = A[:, :k] == B[:, :k]  # pads differ → False past either length
+        prefix = np.cumprod(eq, axis=1).sum(axis=1).astype(np.float64)
+    else:
+        prefix = np.zeros(len(a_arr), dtype=np.float64)
     return sim + prefix * p * (1.0 - sim)
 
 

@@ -107,10 +107,25 @@ def connected_components(
     return members.unionByName(roots).distinct()
 
 
+def dense_ids(df: DataFrame, col: str, out: str = "cluster") -> DataFrame:
+    """Dense sequential 1-based ids over the distinct, sorted values of
+    ``col`` — equivalent to dense_rank() over a global ORDER BY, but
+    computed with a distributed range-partition sort + zipWithIndex
+    (per-partition offsets on the driver) instead of a single-task window,
+    so it scales to 10^9+ distinct values."""
+    spark = df.sparkSession
+    distinct_sorted = df.select(col).distinct().orderBy(col)
+    rdd = distinct_sorted.rdd.map(lambda r: r[0]).zipWithIndex()
+    return spark.createDataFrame(
+        rdd.map(lambda t: (t[0], t[1] + 1)), f"{col} string, {out} int"
+    )
+
+
 def name_clusters(matches: DataFrame) -> DataFrame:
     """Reference group_matches semantics (group_matches.R:60-123): matches
     (name, match[, keep]) → (name, cluster, group_name), keeping only rows
-    where group_name != name. ``cluster`` is a dense rank over group_name."""
+    where group_name != name. ``cluster`` is a dense rank over group_name
+    (scalably assigned — see dense_ids)."""
     if "keep" in matches.columns:
         matches = matches.where(F.col("keep") == 1)
     cc = connected_components(matches, "name", "match")
@@ -118,12 +133,7 @@ def name_clusters(matches: DataFrame) -> DataFrame:
         "name",
         F.col("component").alias("group_name"),
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("group_name")
-    clusters = (
-        out.select("group_name").distinct().withColumn("cluster", F.dense_rank().over(w))
-    )
+    clusters = dense_ids(out, "group_name", "cluster")
     return (
         out.join(clusters, "group_name")
         .where(F.col("group_name") != F.col("name"))

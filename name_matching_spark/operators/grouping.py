@@ -17,7 +17,7 @@ Both are append-dedup tables (merge_labels semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..constants import GROUP_COSINE_THRESHOLD
@@ -73,10 +73,9 @@ def regroup_clusters(clusters: DataFrame, group_pairs: DataFrame) -> DataFrame:
         F.col("group_name").alias("name"), F.col("_new").alias("group_name")
     ).where(F.col("name") != F.col("group_name"))
     out = out.select("name", "group_name").unionByName(reps).distinct()
-    w = Window.orderBy("group_name")
-    ids = out.select("group_name").distinct().withColumn(
-        "cluster", F.dense_rank().over(w)
-    )
+    from .cc import dense_ids
+
+    ids = dense_ids(out, "group_name", "cluster")
     return (
         out.join(ids, "group_name")
         .where(F.col("name") != F.col("group_name"))

@@ -59,6 +59,9 @@ def start_name_ingest(
     seen_dir = os.path.join(table_dir, "docs_seen")
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
+        # idempotent under foreachBatch's at-least-once replay: each batch
+        # OVERWRITES its own partition directory, so a re-run of the same
+        # batch_id replaces rather than double-counts
         batch = batch.persist()
         names = (
             batch.select(F.explode("spans").alias("s"))
@@ -66,12 +69,13 @@ def start_name_ingest(
             .where(F.col("s.text").isNotNull())
             .groupBy(F.col("s.text").alias("name"))
             .agg(F.count("*").alias("n"))
-            .withColumn("batch_id", F.lit(batch_id))
         )
-        names.write.mode("append").parquet(counts_dir)
-        batch.select("doc_id", F.col("_h").alias("content_hash")).withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(seen_dir)
+        names.write.mode("overwrite").parquet(
+            os.path.join(counts_dir, f"batch_id={batch_id}")
+        )
+        batch.select("doc_id", F.col("_h").alias("content_hash")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(seen_dir, f"batch_id={batch_id}"))
         batch.unpersist()
 
     writer = (
@@ -101,18 +105,31 @@ def new_names_since(
 
 
 def compact_name_counts(spark: SparkSession, table_dir: str) -> None:
-    """Maintenance: fold all partials into a single batch_id=-1 generation.
-    Readers are unaffected before/after (same aggregate)."""
-    counts_dir = os.path.join(table_dir, "name_counts")
-    agg = (
-        spark.read.parquet(counts_dir)
-        .groupBy("name")
-        .agg(F.sum("n").alias("n"))
-        .withColumn("batch_id", F.lit(-1))
-    )
-    tmp = counts_dir + "_compacting"
-    agg.write.mode("overwrite").parquet(tmp)
+    """Maintenance: fold a snapshot of batch partitions into one compacted
+    generation, then remove ONLY the snapshotted partitions — batches the
+    stream appends concurrently are untouched, so compaction is safe to run
+    against a live stream (the compacted generation reuses the smallest
+    snapshotted batch_id, keeping ids unique)."""
+    import re
     import shutil
 
-    shutil.rmtree(counts_dir)
-    os.rename(tmp, counts_dir)
+    counts_dir = os.path.join(table_dir, "name_counts")
+    snap = [
+        d
+        for d in os.listdir(counts_dir)
+        if re.fullmatch(r"batch_id=-?\d+", d)
+    ]
+    if len(snap) <= 1:
+        return
+    paths = [os.path.join(counts_dir, d) for d in sorted(snap)]
+    gen_id = min(int(d.split("=")[1]) for d in snap)
+    agg = (
+        spark.read.parquet(*paths)
+        .groupBy("name")
+        .agg(F.sum("n").alias("n"))
+    )
+    tmp = os.path.join(table_dir, "_compacting")
+    agg.write.mode("overwrite").parquet(tmp)
+    for p in paths:
+        shutil.rmtree(p)
+    os.rename(tmp, os.path.join(counts_dir, f"batch_id={gen_id}"))
