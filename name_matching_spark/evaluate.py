@@ -71,12 +71,16 @@ def pairwise_f1(
     blocked: DataFrame | None = None,
 ) -> F1Result:
     """``predicted``/``truth``/``blocked`` are canonical (name, match) pair
-    DataFrames. When ``blocked`` is given, truth pairs outside the blocking
-    surface are excluded from recall (the "same blocking key" clause)."""
+    DataFrames. When ``blocked`` is given, BOTH sides are restricted to the
+    blocking surface (the "same blocking key" clause): decisions — the
+    reference's and ours — only exist for pairs the blockers surfaced, so
+    transitive-closure pairs outside it are out of scope on either side."""
     t = truth
-    if blocked is not None:
-        t = t.join(blocked.select("name", "match"), ["name", "match"], "left_semi")
     p = predicted.select("name", "match").distinct()
+    if blocked is not None:
+        surface = blocked.select("name", "match")
+        t = t.join(surface, ["name", "match"], "left_semi")
+        p = p.join(surface, ["name", "match"], "left_semi")
     t = t.select("name", "match").distinct()
     tp = p.join(t, ["name", "match"], "left_semi").count()
     fp = p.join(t, ["name", "match"], "left_anti").count()

