@@ -732,6 +732,44 @@ SELECT * FROM prev_non UNION ALL SELECT * FROM inferred
 """
 
 
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (1h) over the events table —
+    the batch form of the Structured Streaming windowed agg (ingest.py is
+    the streaming form). UTC session timezone makes buckets engine-stable."""
+    _register(spark, sf_dir, "events")
+    return (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+            F.col("users").cast("bigint").alias("users"),
+        )
+    )
+
+
+def o_events_window() -> str:
+    return """
+SELECT event_type,
+       strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events
+GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -749,6 +787,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_pipeline": q_media_pipeline,
     "group_round2": q_group_round2,
     "notifications": q_notifications,
+    "events_window": q_events_window,
 }
 
 ORACLES: dict[str, str] = {
@@ -768,4 +807,5 @@ ORACLES: dict[str, str] = {
     # media_pipeline: rows-only (binary + pandas-UDF pipeline)
     "group_round2": o_group_round2(),
     "notifications": o_notifications(),
+    "events_window": o_events_window(),
 }
