@@ -323,6 +323,73 @@ FROM embeddings
 # text analysis
 # ---------------------------------------------------------------------------
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer, 2-probe cell search,
+    exact re-rank inside cells (the scale path beside RP-LSH)."""
+    from .operators.similarity import ivf_topk
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=2).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def o_ivf_topk() -> str:
+    unit_dot = _DUCK_DOT.format(d=_DIM, a="v", b="v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id AS id,
+         list_transform(v, x -> x / sqrt({unit_dot})) AS u
+  FROM e WHERE sqrt({unit_dot}) > 0
+),
+step AS (SELECT greatest(count(*) // 16, 1) AS s FROM embeddings),
+cents AS (
+  SELECT id AS cid, u AS cu FROM unit, step WHERE id % step.s = 0
+  ORDER BY id LIMIT 16
+),
+assigned AS (
+  SELECT id, cell, u FROM (
+    SELECT un.id, c.cid AS cell, un.u,
+           row_number() OVER (
+             PARTITION BY un.id
+             ORDER BY round({_DUCK_DOT.format(d=_DIM, a="un.u", b="c.cu")}, 6) DESC,
+                      c.cid ASC) AS rk
+    FROM unit un CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, qu, cell FROM (
+    SELECT un.id AS query_id, un.u AS qu, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY un.id
+             ORDER BY round({_DUCK_DOT.format(d=_DIM, a="un.u", b="c.cu")}, 6) DESC,
+                      c.cid ASC) AS rk
+    FROM unit un CROSS JOIN cents c
+    WHERE un.id < 20
+  ) WHERE rk <= 2
+),
+cand AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         round({_DUCK_DOT.format(d=_DIM, a="p.qu", b="a.u")}, 5) AS cosine
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE p.query_id <> a.id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import token_counts
 
@@ -778,6 +845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
     "ann_buckets": q_ann_buckets,
+    "ivf_topk": q_ivf_topk,
     "token_counts": q_token_counts,
     "quality_scores": q_quality,
     "lang_id": q_lang_id,
@@ -798,6 +866,7 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": o_simhash_pairs(),
     "embedding_topk": o_embedding_topk(),
     "ann_buckets": o_ann_buckets(),
+    "ivf_topk": o_ivf_topk(),
     "token_counts": o_token_counts(),
     "quality_scores": o_quality(),
     "lang_id": o_lang_id(),

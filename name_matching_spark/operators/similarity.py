@@ -153,6 +153,90 @@ def ann_topk(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic centroid sample (every k-th
+    vector by id — the seeded stand-in for a k-means fit, which at 10^12
+    scale runs as a separate sampled training job), then each vector is
+    assigned to its nearest centroid by cosine. Returns (assigned, centroids).
+
+    The assignment join is |N| × n_centroids — linear in N with a tiny
+    broadcast side, the textbook IVF build cost.
+    """
+    u = with_unit_vectors(emb, vec_col, "u").select(F.col(id_col).alias("id"), "u")
+    total = emb.count()
+    step = max(total // n_centroids, 1)
+    cents = (
+        u.where(F.col("id") % step == 0)
+        .select(F.col("id").alias("cid"), F.col("u").alias("cu"))
+        .orderBy("cid")
+        .limit(n_centroids)
+    )
+    dot = _dot_expr("u", "cu")
+    assigned = (
+        u.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", F.round(F.expr(dot), 6))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cid"))
+            ),
+        )
+        .where(F.col("_rk") == 1)
+        .select("id", F.col("cid").alias(out), "u")
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: queries probe their ``n_probe`` nearest centroids and
+    scan only those cells — |Q| · n_probe/n_centroids of the brute-force
+    work, the standard recall/cost dial. Output (query_id, neighbor_id,
+    cosine, rank)."""
+    assigned, cents = ivf_assign(emb, n_centroids, id_col, vec_col)
+    qu = with_unit_vectors(queries, vec_col, "u").select(
+        F.col(id_col).alias("query_id"), F.col("u").alias("qu")
+    )
+    dot_qc = _dot_expr("qu", "cu")
+    probes = (
+        qu.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", F.round(F.expr(dot_qc), 6))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cid"))
+            ),
+        )
+        .where(F.col("_rk") <= n_probe)
+        .select("query_id", "qu", F.col("cid").alias("cell"))
+    )
+    dot_qn = _dot_expr("qu", "u")
+    cand = (
+        probes.join(assigned.withColumnsRenamed({"id": "neighbor_id"}), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(F.expr(dot_qn), 5))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -92,6 +92,12 @@ def test_cosine_topk_and_ann(spark):
     assert ann_top.get(0) == 1  # near-identical vectors share every bucket
     nd = embedding_near_dup_pairs(emb, threshold=0.99, planes=4)
     assert (0, 1) in {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    # IVF path: near-identical vectors land in the same cell → recalled
+    from name_matching_spark.operators.similarity import ivf_topk
+
+    ivf = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2)
+    ivf_top = {r["query_id"]: r["neighbor_id"] for r in ivf.where("rank = 1").collect()}
+    assert ivf_top.get(0) == 1
 
 
 def test_textstats(docs):
