@@ -50,6 +50,9 @@ class F1Result:
     tp: int
     fp: int
     fn: int
+    # the same counts with NO surface restriction anywhere (None when no
+    # surface was given — the two metrics coincide then)
+    unrestricted: "F1Result | None" = None
 
     @property
     def precision(self) -> float:
@@ -71,18 +74,25 @@ def pairwise_f1(
     blocked: DataFrame | None = None,
 ) -> F1Result:
     """``predicted``/``truth``/``blocked`` are canonical (name, match) pair
-    DataFrames. When ``blocked`` is given, BOTH sides are restricted to the
-    blocking surface (the "same blocking key" clause): decisions — the
-    reference's and ours — only exist for pairs the blockers surfaced, so
-    transitive-closure pairs outside it are out of scope on either side."""
-    t = truth
+    DataFrames. The surface restriction (the "same blocking key" clause)
+    applies to the RECALL side only: truth pairs outside the blocking
+    surface were never candidates for either engine, so they don't count as
+    misses. The PREDICTED side is never restricted — a transitive pair
+    produced by a wrongly-merged cluster counts as a false positive even
+    when it lies outside the candidate surface, so cluster-level merge
+    errors stay visible (ADVICE r1). ``.unrestricted`` carries the fully
+    unrestricted counts for side-by-side reporting."""
+    t_full = truth.select("name", "match").distinct()
     p = predicted.select("name", "match").distinct()
-    if blocked is not None:
-        surface = blocked.select("name", "match")
-        t = t.join(surface, ["name", "match"], "left_semi")
-        p = p.join(surface, ["name", "match"], "left_semi")
-    t = t.select("name", "match").distinct()
-    tp = p.join(t, ["name", "match"], "left_semi").count()
-    fp = p.join(t, ["name", "match"], "left_anti").count()
-    fn = t.join(p, ["name", "match"], "left_anti").count()
-    return F1Result(tp=tp, fp=fp, fn=fn)
+    tp = p.join(t_full, ["name", "match"], "left_semi").count()
+    fp = p.join(t_full, ["name", "match"], "left_anti").count()
+    fn_full = t_full.join(p, ["name", "match"], "left_anti").count()
+    if blocked is None:
+        return F1Result(tp=tp, fp=fp, fn=fn_full)
+    surface = blocked.select("name", "match")
+    t_surf = t_full.join(surface, ["name", "match"], "left_semi")
+    fn = t_surf.join(p, ["name", "match"], "left_anti").count()
+    return F1Result(
+        tp=tp, fp=fp, fn=fn,
+        unrestricted=F1Result(tp=tp, fp=fp, fn=fn_full),
+    )

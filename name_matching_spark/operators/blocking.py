@@ -14,20 +14,21 @@ an equi-join on an explicit blocking key:
   no UDF.
 
 Skew: token frequencies are Zipf-distributed, so the inverted index has hot
-keys ("SMITH"). Two explicit mitigations, both logged (no silent caps):
+keys ("SMITH"). Three explicit mitigations, all logged (no silent caps):
 
-1. **hot-key cap**: block keys with more than ``max_block`` names are
-   excluded from the pair join and returned in a side DataFrame — the
+1. **cap-and-split** (``split_oversized_blocks``, the default path inside
+   ``pairs_from_index``): a block of size B > max_block is cut into
+   g = ⌈B/max_block⌉ sub-groups and every unordered sub-group pair
+   (gi ≤ gj) becomes its own task key, so all B·(B-1)/2 pairs are still
+   produced but no single task sees more than ~max_block² of them. Nothing
+   is dropped — recall is preserved at any skew.
+2. **optional hard drop** (``drop_above``): keys with more names than this
+   are excluded from the pair join and returned in a side DataFrame — the
    distributed analogue of the reference dropping its 182 common words as
-   match evidence (match_names.R:36-63).
-2. AQE skew-join splitting handles residual imbalance inside the join
+   match evidence (match_names.R:36-63). Off by default; the stoplists in
+   normalization already play that role.
+3. AQE skew-join splitting handles residual imbalance inside the join
    (enabled in session.py).
-
-For bounded *task* memory there is also ``split_oversized_blocks`` —
-cap-and-split with replicated boundary handling: a block of size B is cut
-into g = ⌈B/cap⌉ sub-groups and every unordered sub-group pair (gi ≤ gj)
-becomes its own task key, so all B·(B-1)/2 pairs are still produced but no
-single task sees more than ~cap² of them.
 """
 
 from __future__ import annotations
@@ -70,23 +71,60 @@ def pairs_from_index(
     key_col: str,
     name_col: str = "name",
     max_block: int = 2000,
+    drop_above: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join the (name, key) index into canonical candidate pairs.
 
     Returns (pairs(name, match, key), dropped_keys(key, block_size)).
     Pairs are canonical: name < match alphabetically (reference utils.R:5-9).
+
+    Blocks larger than ``max_block`` are routed through
+    ``split_oversized_blocks`` (cap-and-split with replicated boundary
+    sub-groups), so the full within-block pair set is produced while no
+    single shuffle task enumerates more than ~max_block² pairs. Keys are
+    only *excluded* when ``drop_above`` is set (logged in ``dropped_keys``);
+    by default nothing is dropped.
     """
-    dropped = hot_keys(index, key_col, max_block)
-    idx = index.join(F.broadcast(dropped.select(key_col)), key_col, "left_anti")
-    a = idx.select(F.col(key_col).alias("_k"), F.col(name_col).alias("_na"))
-    b = idx.select(F.col(key_col).alias("_k"), F.col(name_col).alias("_nb"))
+    if drop_above is not None:
+        dropped = hot_keys(index, key_col, drop_above)
+        index = index.join(F.broadcast(dropped.select(key_col)), key_col, "left_anti")
+    else:
+        # schema-stable empty lineage table (evaluated lazily; trivial agg)
+        dropped = hot_keys(index, key_col, (1 << 62))
+    tasks = split_oversized_blocks(index, key_col, name_col, cap=max_block)
+    a = tasks.select(
+        "task_key",
+        "task_lo",
+        "task_hi",
+        F.col("block_key"),
+        F.col("name").alias("_na"),
+        F.col("sub_group").alias("_ga"),
+    )
+    b = tasks.select(
+        "task_key",
+        F.col("name").alias("_nb"),
+        F.col("sub_group").alias("_gb"),
+    )
+    # side rule: diagonal tasks (lo == hi) enumerate the upper triangle of
+    # their single sub-group; off-diagonal tasks pair the lo side against the
+    # hi side exactly once (each name lives in exactly one sub-group).
     pairs = (
-        a.join(b, "_k")
-        .where(F.col("_na") < F.col("_nb"))
+        a.join(b, "task_key")
+        .where(
+            (
+                (F.col("task_lo") == F.col("task_hi"))
+                & (F.col("_na") < F.col("_nb"))
+            )
+            | (
+                (F.col("task_lo") < F.col("task_hi"))
+                & (F.col("_ga") == F.col("task_lo"))
+                & (F.col("_gb") == F.col("task_hi"))
+            )
+        )
         .select(
-            F.col("_na").alias("name"),
-            F.col("_nb").alias("match"),
-            F.col("_k").alias(key_col),
+            F.least("_na", "_nb").alias("name"),
+            F.greatest("_na", "_nb").alias("match"),
+            F.col("block_key").alias(key_col),
         )
     )
     return pairs, dropped

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import materialize
+
 
 def _symmetrize(e: DataFrame) -> DataFrame:
     return e.select("u", "v").unionByName(
@@ -88,10 +90,10 @@ def connected_components(
     )
     # eager checkpoint per round: measured faster than lazy + checksum
     # (lazy localCheckpoint recomputes under the aggregate-only action)
-    e = e.localCheckpoint(eager=True)
+    e = materialize(e, eager=True)
     prev = _checksum(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = materialize(_small_star(_large_star(e)), eager=True)
         cur = _checksum(e)
         if cur == prev:
             break
@@ -110,14 +112,40 @@ def connected_components(
 def dense_ids(df: DataFrame, col: str, out: str = "cluster") -> DataFrame:
     """Dense sequential 1-based ids over the distinct, sorted values of
     ``col`` — equivalent to dense_rank() over a global ORDER BY, but
-    computed with a distributed range-partition sort + zipWithIndex
-    (per-partition offsets on the driver) instead of a single-task window,
-    so it scales to 10^9+ distinct values."""
+    computed DataFrame-native without a single-task global window:
+    range-repartition the distinct values (non-overlapping ordered ranges),
+    row_number *within* each range partition (parallel windows), then add a
+    broadcast per-partition cumulative offset. Scales to 10^9+ distinct
+    values; only the O(#partitions) count vector touches the driver.
+
+    The range layout is pinned with one eager localCheckpoint so the offset
+    scan and the window see the same physical partitioning (range sampling
+    is not guaranteed stable across recomputes)."""
+    from pyspark.sql import Window
+
     spark = df.sparkSession
-    distinct_sorted = df.select(col).distinct().orderBy(col)
-    rdd = distinct_sorted.rdd.map(lambda r: r[0]).zipWithIndex()
-    return spark.createDataFrame(
-        rdd.map(lambda t: (t[0], t[1] + 1)), f"{col} string, {out} int"
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        df.select(col)
+        .distinct()
+        .repartitionByRange(n_parts, F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = materialize(ranged, eager=True)
+    counts = {
+        r["_pid"]: r["c"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):  # range partitions are ordered by key range
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = F.broadcast(spark.createDataFrame(offsets, "_pid int, _off bigint"))
+    w = Window.partitionBy("_pid").orderBy(col)
+    return (
+        ranged.join(off_df, "_pid")
+        .withColumn(out, (F.row_number().over(w) + F.col("_off")).cast("int"))
+        .select(col, out)
     )
 
 

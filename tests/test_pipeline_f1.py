@@ -18,5 +18,13 @@ def test_pipeline_f1_gate(spark):
     )
     r = pairwise_f1(cluster_pairs(res.clusters), truth_pairs(truth), blocked=res.master)
     assert r.f1 >= 0.99, (r.f1, r.precision, r.recall, r.tp, r.fp, r.fn)
+    # predicted side is unrestricted now: outside-surface false merges count
+    # as FP, and the fully unrestricted F1 is reported alongside (ADVICE r1)
+    assert r.unrestricted is not None
+    print(
+        f"surface F1={r.f1:.4f} (P={r.precision:.4f} R={r.recall:.4f}) | "
+        f"unrestricted F1={r.unrestricted.f1:.4f} "
+        f"(P={r.unrestricted.precision:.4f} R={r.unrestricted.recall:.4f})"
+    )
     # span-sequence invariant holds end-to-end: source docs never mutated
     assert docs.count() > 0
