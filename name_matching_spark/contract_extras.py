@@ -600,21 +600,37 @@ FROM me_ab a JOIN me_ba b ON a.name = b.name AND a.match = b.match
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (rows-only: binary payloads + pandas UDFs are not
-# single-query SQL; the driver records the weaker check)
+# multimodal plumbing — fully oracle-checked: spans are derived in-SQL from
+# `documents` on both sides (same construction as span_extract), the stub
+# fetch is sha256(ref), and the fake decode is uint32-LE arithmetic DuckDB
+# can replicate exactly (VERDICT r1 item 2)
 # ---------------------------------------------------------------------------
 
-def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media manifest → stub fetch → fake decode over the fixture's
-    interleaved spans table (schema/batching plumbing is real; codec is a
-    deterministic test double — see operators/media.py)."""
-    import os
+def _spans_from_documents(spark: SparkSession, sf_dir: str):
+    """Interleaved text/media spans built in-SQL from the driver documents
+    table (identical construction to q_span_extract)."""
+    _register(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT CAST(doc_id AS STRING) AS doc_id,
+          transform(slice(filter(split(text, ' '), t -> t <> ''), 1, 6),
+            (w, i) -> named_struct(
+              'kind', IF(i % 3 = 2, 'media', 'text'),
+              'text', IF(i % 3 = 2, CAST(NULL AS STRING), w),
+              'media_ref', IF(i % 3 = 2, concat('m://', w), CAST(NULL AS STRING)),
+              'offset', i)) AS spans
+        FROM documents
+        """
+    )
 
-    from .datagen import ensure_fixtures, sf_from_path
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media manifest → stub fetch → fake decode over interleaved spans
+    derived from `documents` (manifest/fetch/decode are the real package
+    operators — mapInPandas over Arrow batches, binary payloads)."""
     from .operators.media import decode_image_features, fetch_media_stub, media_manifest
 
-    fx = ensure_fixtures(sf_from_path(sf_dir))
-    docs = spark.read.parquet(os.path.join(fx, "documents_spans.parquet"))
+    docs = _spans_from_documents(spark, sf_dir)
     manifest = media_manifest(docs)
     fetched = fetch_media_stub(manifest)
     decoded = decode_image_features(fetched, fake=True)
@@ -625,6 +641,45 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round(F.expr("aggregate(features, 0D, (a, x) -> a + x)"), 6).alias("feat_sum"),
     )
+
+
+def o_media_pipeline() -> str:
+    """DuckDB twin of the stub fetch + fake decode: payload bytes are
+    sha256(media_ref); the fake decode reads uint32 little-endian words
+    raw[j] from the digest — reproduced here with hex-substring arithmetic
+    (byte m of the digest is substr(hex, 2m+1, 2); LE word j concatenates
+    bytes 4j+3..4j reversed). Feature j = float32((raw[j] %% 1000) / 1000),
+    summed left-to-right in double — same FP order as Spark's aggregate().
+    """
+    toks = _duck_toks()
+
+    def b(m: str) -> str:  # hex of digest byte m (0-based)
+        return f"substr(h, 2*({m})+1, 2)"
+
+    def u32(j: int) -> str:  # little-endian uint32 word j of the digest
+        return (
+            f"('0x'||{b(f'{4*j+3}')}||{b(f'{4*j+2}')}||{b(f'{4*j+1}')}||{b(f'{4*j}')})::BIGINT"
+        )
+
+    feat_sum = " + ".join(f"CAST(CAST(({u32(j)} % 1000) / 1000.0 AS REAL) AS DOUBLE)" for j in range(8))
+    return f"""
+WITH sp AS (
+  SELECT doc_id,
+         unnest(generate_series(1, least(len({toks}), 6))) - 1 AS pos,
+         unnest(list_slice({toks}, 1, 6)) AS w
+  FROM documents
+),
+media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'm://' || w AS media_ref,
+         sha256('m://' || w) AS h
+  FROM sp WHERE pos % 3 = 2
+)
+SELECT doc_id, media_ref,
+       CAST({u32(0)} % 1920 + 1 AS INT) AS width,
+       CAST({u32(1)} % 1080 + 1 AS INT) AS height,
+       round({feat_sum}, 6) AS feat_sum
+FROM media
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -873,7 +928,7 @@ ORACLES: dict[str, str] = {
     "fingerprints": o_fingerprints(),
     "span_extract": o_span_extract(),
     "token_sim": o_token_sim(),
-    # media_pipeline: rows-only (binary + pandas-UDF pipeline)
+    "media_pipeline": o_media_pipeline(),
     "group_round2": o_group_round2(),
     "notifications": o_notifications(),
     "events_window": o_events_window(),

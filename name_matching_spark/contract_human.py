@@ -163,17 +163,19 @@ def _first_name_tokens() -> list[str]:
     return sorted(set(FIRST_NAMES) | {s for s, _ in NICKNAMES} | nick_std)
 
 
-def duck_human_extract_cte() -> str:
+def duck_human_extract_cte(source_values: str | None = None) -> str:
     """CTE chain: humans0(name) → extracted(name, company, last_name,
     first_name, initials list) replicating extract_name + the human-mode
-    clean_name."""
+    clean_name. ``source_values`` overrides the name universe (any relation
+    SQL with a ``name`` column; defaults to the HUMAN_NAMES fixture)."""
     from .contract import duck_clean_expr
 
     surnames = _duck_dict(SURNAMES)
     firsts = _duck_dict(_first_name_tokens())
     company = _sq(COMPANY_REGEX_JAVA)
+    src = source_values if source_values is not None else HUMAN_VALUES
     return f"""
-humans0 AS (SELECT DISTINCT name FROM {HUMAN_VALUES}),
+humans0 AS (SELECT DISTINCT name FROM {src}),
 hclean AS (
   SELECT name, {duck_clean_expr("name", "clean_name", drop_common=False, human=True)}
   FROM humans0
@@ -555,39 +557,23 @@ def q_importance_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def o_importance_distance() -> str:
+def duck_importance_cte(pts: str = "pts", counts: str = "names", ratio: float = 0.10) -> str:
+    """Reusable CTE chain ``thr/geo/d``: closed-form point-to-region
+    distance (mirror of operators/prescreen.importance_distance_udf) for
+    the rows of ``pts`` (must expose max_n/min_n doubles), thresholds from
+    ``counts`` (column n). The final relation ``d`` carries pts.* plus
+    inside/dv/dh/dr; combine with ``DUCK_IMPORTANCE_EXPR``."""
     return f"""
-WITH {CORPUS_CTE},
-idx AS (
-  SELECT DISTINCT name, token FROM (
-    SELECT name, unnest(bag_shared) AS token FROM (
-      SELECT name, {_duck_bag_shared()} FROM (SELECT DISTINCT name FROM names)
-    )
-  ) WHERE token <> ''
-),
-pairs AS (
-  SELECT a.name AS name, b.name AS match
-  FROM idx a JOIN idx b ON a.token = b.token AND a.name < b.name
-  GROUP BY a.name, b.name
-),
-pts AS (
-  SELECT p.name, p.match,
-         CAST(greatest(cx.n, cy.n) AS DOUBLE) AS max_n,
-         CAST(least(cx.n, cy.n) AS DOUBLE) AS min_n
-  FROM pairs p
-  JOIN names cx ON p.name = cx.name
-  JOIN names cy ON p.match = cy.name
-),
 thr AS (
-  SELECT quantile_cont(n, 0.9) AS a, quantile_cont(n, 0.7) AS b, 0.10 AS r
-  FROM names
+  SELECT quantile_cont(n, 0.9) AS a, quantile_cont(n, 0.7) AS b, {ratio} AS r
+  FROM {counts}
 ),
 geo AS (
-  SELECT pts.*, thr.a, thr.b, thr.r,
+  SELECT {pts}.*, thr.a, thr.b, thr.r,
          CASE WHEN thr.r * thr.a >= thr.b THEN thr.a ELSE thr.b / thr.r END AS x0,
          CASE WHEN thr.r * thr.a >= thr.b THEN greatest(thr.b, thr.r * thr.a)
               ELSE thr.b END AS y0r
-  FROM pts, thr
+  FROM {pts}, thr
 ),
 d AS (
   SELECT *,
@@ -611,10 +597,39 @@ d AS (
       (min_n - (r * x0 + r * greatest(((max_n - x0) + r * (min_n - r * x0)) / (1 + r * r), 0)))
     ) AS dr
   FROM geo
+)"""
+
+
+DUCK_IMPORTANCE_EXPR = (
+    "CASE WHEN inside THEN 0.0 ELSE least(dv, coalesce(dh, dv), dr) END"
 )
+
+
+def o_importance_distance() -> str:
+    return f"""
+WITH {CORPUS_CTE},
+idx AS (
+  SELECT DISTINCT name, token FROM (
+    SELECT name, unnest(bag_shared) AS token FROM (
+      SELECT name, {_duck_bag_shared()} FROM (SELECT DISTINCT name FROM names)
+    )
+  ) WHERE token <> ''
+),
+pairs AS (
+  SELECT a.name AS name, b.name AS match
+  FROM idx a JOIN idx b ON a.token = b.token AND a.name < b.name
+  GROUP BY a.name, b.name
+),
+pts AS (
+  SELECT p.name, p.match,
+         CAST(greatest(cx.n, cy.n) AS DOUBLE) AS max_n,
+         CAST(least(cx.n, cy.n) AS DOUBLE) AS min_n
+  FROM pairs p
+  JOIN names cx ON p.name = cx.name
+  JOIN names cy ON p.match = cy.name
+),{duck_importance_cte()}
 SELECT name, match, max_n, min_n,
-  round(CASE WHEN inside THEN 0.0 ELSE least(dv, coalesce(dh, dv), dr) END, 6)
-    AS importance_dist
+  round({DUCK_IMPORTANCE_EXPR}, 6) AS importance_dist
 FROM d
 """
 
@@ -677,35 +692,226 @@ UNION ALL SELECT address, coded_address FROM fresh
 """
 
 
-def q_pre_screen_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pre-screen stage incl. RF scoring over the fixture corpus —
-    rows-only (ML ensemble is not single-query SQL; the driver records the
-    weaker check). Returns the decision distribution for stability."""
-    import os
+# ---------------------------------------------------------------------------
+# full pre-RF pre-screen cascade (rules 1-6 composed), oracle-checked
+# (VERDICT r1 item 2: the RF itself stays a seeded pytest property —
+# tests/test_prescreen_rf.py — since a 100-tree ensemble is not one SQL
+# query; everything deterministic is hash-compared here)
+# ---------------------------------------------------------------------------
 
-    from .datagen import ensure_fixtures
-    from .operators.address import match_addresses
-    from .operators.extract import extract_names
+PRE_SCREEN_PAIRS = [
+    # (name, match, human_jw_distance, human_cosine_similarity, initials_match)
+    ("BAKER JOHN GROUP LLC", "BAKER JOHN GROUP LTD", None, None, None),  # review label 0 wins
+    ("JOHN SMITH", "MIKE JOHNSON", None, None, None),        # rule 1b: cross-surname reject
+    ("JOHN SMITH", "JOHNNY SMITH", 0.2, 0.9, None),          # same surname, jw below thr
+    ("J SMITH", "MARY LUBBOCK", 0.8, 0.9, None),             # rule 1 reject
+    ("LEE SCOTT", "TED LEWIS", 0.7, 0.8, True),              # initials pass rule 1, rejected by 1b
+    ("ACME OIL", "ACME OIL CO", 0.9, 0.9, None),             # rule-1 reject overridden by address
+    ("CRESTVIEW LLC", "CRESTVIEW PARTNERS", None, None, None),  # address keep=1
+    ("DELTA CO", "DELTA CORP", None, None, None),            # review 0, prior cluster overrides → 1
+    ("ECHO LP", "ECHO LTD", None, None, None),               # prior-cluster clique → 1
+    ("ACME OIL CO", "ACME OPERATING", None, None, None),     # prior cluster; match-in-names zeroing
+    ("MIKE JOHNSON", "M JOHNSON", None, None, None),         # same surname human pair
+    ("JOHN A SMITH", "M JOHNSON", None, None, None),         # duplicate match → n_y zeroing
+    ("ZEBRA OPERATING", "ZEBRA PETROLEUM", None, None, None),  # missing count on name side
+]
+
+PRE_SCREEN_COUNTS = [
+    ("JOHN SMITH", 50), ("MIKE JOHNSON", 40), ("JOHNNY SMITH", 8),
+    ("J SMITH", 5), ("MARY LUBBOCK", 3), ("LEE SCOTT", 2), ("TED LEWIS", 60),
+    ("ACME OIL", 100), ("ACME OIL CO", 90), ("ACME OPERATING", 4),
+    ("CRESTVIEW LLC", 30), ("CRESTVIEW PARTNERS", 6), ("DELTA CO", 20),
+    ("DELTA CORP", 10), ("ECHO LP", 15), ("ECHO LTD", 12),
+    ("BAKER JOHN GROUP LLC", 7), ("BAKER JOHN GROUP LTD", 9),
+    ("JOHN A SMITH", 11), ("M JOHNSON", 13), ("ZEBRA PETROLEUM", 25),
+]
+
+PRE_SCREEN_ADDR = [
+    ("ACME OIL", "ACME OIL CO", "PO 123 MIDLAND TX"),
+    ("CRESTVIEW LLC", "CRESTVIEW PARTNERS", "DRAWER 99 HOUSTON TX"),
+]
+
+PRE_SCREEN_REVIEWED = [
+    ("BAKER JOHN GROUP LLC", "BAKER JOHN GROUP LTD", 0),
+    ("DELTA CO", "DELTA CORP", 0),  # prior cluster overrides this (step order)
+]
+
+
+def q_pre_screen_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 the composed pre-RF pre-screen: human screen → cross-surname →
+    address verify → count features with double-count zeroing → importance
+    distance → reviewed-label merge → prior-cluster clique completion, in
+    the reference's load-bearing order (pre_screen_names.R:154-288)."""
     from .operators.prescreen import pre_screen
-    from .pipeline import match_names
 
-    # fixed small fixture: the rows-only check verifies decision-mix
-    # stability, not scale; keeps the slowest contract entry well under any
-    # per-query budget
-    fx = ensure_fixtures("sf0.001")
-    docs = spark.read.parquet(os.path.join(fx, "documents_spans.parquet"))
-    addr = spark.read.parquet(os.path.join(fx, "addresses.parquet"))
-    labels = spark.read.parquet(os.path.join(fx, "labeled_pairs.parquet"))
-    names = extract_names(docs).localCheckpoint(eager=True)
-    master = match_names(names.select("name")).master
-    screened = pre_screen(
-        master, match_addresses(addr), names,
-        labeled_pairs=labels, num_trees=50, auto_accept=True,
+    pairs = spark.createDataFrame(
+        PRE_SCREEN_PAIRS,
+        "name string, match string, human_jw_distance double, "
+        "human_cosine_similarity double, initials_match boolean",
     )
-    return (
-        screened.groupBy(F.col("keep").cast("int").alias("keep"))
-        .agg(F.count("*").alias("n_pairs"))
+    addr = spark.createDataFrame(PRE_SCREEN_ADDR, ["name", "match", "address"])
+    counts = spark.createDataFrame(PRE_SCREEN_COUNTS, "name string, n bigint")
+    reviewed = spark.createDataFrame(
+        PRE_SCREEN_REVIEWED, "name string, match string, keep int"
     )
+    priors = spark.createDataFrame(PRIOR_CLUSTERS, ["name", "group_name"])
+    out = pre_screen(
+        pairs, addr, counts, reviewed=reviewed, prior_clusters=priors
+    )
+    return out.select(
+        "name",
+        "match",
+        F.col("keep").cast("double").alias("keep"),
+        F.col("n_x").cast("bigint").alias("n_x"),
+        F.col("n_y").cast("bigint").alias("n_y"),
+        F.col("min_n").cast("bigint").alias("min_n"),
+        F.col("max_n").cast("bigint").alias("max_n"),
+        F.col("sum_n").cast("bigint").alias("sum_n"),
+        F.col("word_count").cast("int").alias("word_count"),
+        F.round("importance_dist", 6).alias("importance_dist"),
+        F.col("prior_check").cast("double").alias("prior_check"),
+        "address",
+        F.round("human_jw_distance", 6).alias("human_jw_distance"),
+        F.round("human_cosine_similarity", 6).alias("human_cosine_similarity"),
+        "initials_match",
+    )
+
+
+def o_pre_screen_rules() -> str:
+    pair_vals = _values(
+        PRE_SCREEN_PAIRS, ["name", "match", "hjw", "hcos", "im"]
+    )
+    addr_vals = _values(PRE_SCREEN_ADDR, ["name", "match", "address"])
+    count_vals = _values(PRE_SCREEN_COUNTS, ["name", "n"])
+    rev_vals = _values(PRE_SCREEN_REVIEWED, ["name", "match", "keep"])
+    prior_vals = _values(PRIOR_CLUSTERS, ["name", "group_name"])
+    extract = duck_human_extract_cte(
+        f"(SELECT name FROM {pair_vals} UNION SELECT match FROM {pair_vals})"
+    )
+    importance = duck_importance_cte(pts="pts", counts="cnt")
+    return f"""
+WITH p0 AS (SELECT * FROM {pair_vals}),
+cnt AS (SELECT * FROM {count_vals}),
+{extract},
+-- rule 1: human screen (keep BEFORE fillna), then fillna
+r1 AS (
+  SELECT name, match,
+    CASE WHEN hjw > 0.6 AND hcos > 0.6 AND im IS NULL THEN 0.0 END AS keep,
+    coalesce(hjw, 1.0) AS hjw, coalesce(hcos, 1.0) AS hcos,
+    coalesce(im, FALSE) AS im
+  FROM p0
+),
+-- rule 1b: cross-surname screen via the human-name parse
+r1b AS (
+  SELECT r1.name, r1.match,
+    CASE WHEN r1.keep IS NULL
+          AND NOT coalesce(ea.company, TRUE) AND NOT coalesce(eb.company, TRUE)
+          AND ea.last_name IS NOT NULL AND eb.last_name IS NOT NULL
+          AND ea.last_name <> eb.last_name
+         THEN 0.0 ELSE r1.keep END AS keep,
+    hjw, hcos, im
+  FROM r1
+  LEFT JOIN extracted ea ON r1.name = ea.name
+  LEFT JOIN extracted eb ON r1.match = eb.name
+),
+-- rule 2: address verification overrides
+r2 AS (
+  SELECT r1b.*, a.address,
+    CASE WHEN a.address IS NOT NULL THEN 1.0 ELSE r1b.keep END AS keep2
+  FROM r1b LEFT JOIN (SELECT * FROM {addr_vals}) a
+    ON r1b.name = a.name AND r1b.match = a.match
+),
+-- rule 3: count features + double-count zeroing + word count
+r3 AS (
+  SELECT r2.*, cx.n AS raw_nx, cy.n AS raw_ny,
+    least(cx.n, cy.n) AS min_n, greatest(cx.n, cy.n) AS max_n,
+    coalesce(cx.n, 0) + coalesce(cy.n, 0) AS sum_n
+  FROM r2
+  LEFT JOIN cnt cx ON r2.name = cx.name
+  LEFT JOIN cnt cy ON r2.match = cy.name
+),
+r3z AS (
+  SELECT *,
+    coalesce(CASE WHEN row_number() OVER (PARTITION BY name ORDER BY match) > 1
+                  THEN 0 ELSE raw_nx END, 0) AS n_x,
+    coalesce(CASE WHEN match IN (SELECT name FROM p0) THEN 0
+                  WHEN row_number() OVER (PARTITION BY match ORDER BY name) > 1
+                  THEN 0 ELSE raw_ny END, 0) AS n_y,
+    len(regexp_extract_all(name, '\\w+')) + len(regexp_extract_all(match, '\\w+'))
+      AS word_count
+  FROM r3
+),
+-- rule 4: importance distance (thresholds from the counts table)
+pts AS (
+  SELECT name, match, keep2, n_x, n_y,
+         CAST(min_n AS DOUBLE) AS min_n, CAST(max_n AS DOUBLE) AS max_n,
+         sum_n, word_count, address, hjw, hcos, im
+  FROM r3z
+),
+{importance.lstrip()},
+-- rules 5+6: reviewed labels then prior-cluster cliques
+prior_pairs AS (
+  SELECT DISTINCT least(a.name, b.name) AS name, greatest(a.name, b.name) AS match
+  FROM (SELECT name, group_name FROM {prior_vals}
+        UNION SELECT group_name, group_name FROM {prior_vals}) a
+  JOIN (SELECT name, group_name FROM {prior_vals}
+        UNION SELECT group_name, group_name FROM {prior_vals}) b
+    ON a.group_name = b.group_name AND a.name < b.name
+)
+SELECT d.name, d.match,
+  coalesce(CASE WHEN pp.name IS NOT NULL THEN 1.0 END,
+           coalesce(CAST(rv.keep AS DOUBLE), d.keep2)) AS keep,
+  CAST(d.n_x AS BIGINT) AS n_x,
+  CAST(d.n_y AS BIGINT) AS n_y,
+  CAST(d.min_n AS BIGINT) AS min_n,
+  CAST(d.max_n AS BIGINT) AS max_n,
+  CAST(d.sum_n AS BIGINT) AS sum_n,
+  CAST(d.word_count AS INT) AS word_count,
+  round({DUCK_IMPORTANCE_EXPR}, 6) AS importance_dist,
+  CASE WHEN pp.name IS NOT NULL THEN 1.0 END AS prior_check,
+  d.address,
+  round(d.hjw, 6) AS human_jw_distance,
+  round(d.hcos, 6) AS human_cosine_similarity,
+  d.im AS initials_match
+FROM d
+LEFT JOIN (SELECT * FROM {rev_vals}) rv
+  ON d.name = rv.name AND d.match = rv.match
+LEFT JOIN prior_pairs pp ON d.name = pp.name AND d.match = pp.match
+"""
+
+
+def q_review_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 review-progress summary (reference makefile:148-152 +
+    name_matching_summary.Rmd): per-stage reviewed/pending/accepted/
+    rejected counts over the composed pre-screen output. 'modeled' is
+    gated to importance_dist == 0 (the human-review population), 'grouped'
+    counts every pair — mirroring the Rmd's two styles."""
+    from .operators.prescreen import review_summary
+
+    screened = q_pre_screen_rules(spark, sf_dir)
+    return review_summary([
+        ("modeled", screened, True),
+        ("grouped", screened, False),
+    ])
+
+
+def o_review_summary() -> str:
+    inner = o_pre_screen_rules()
+    return f"""
+WITH psr AS (SELECT * FROM ({inner}) _i),
+stages AS (
+  SELECT 'modeled' AS stage, keep FROM psr WHERE importance_dist = 0
+  UNION ALL
+  SELECT 'grouped' AS stage, keep FROM psr
+)
+SELECT stage,
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(count(keep) AS BIGINT) AS n_reviewed,
+  CAST(count(*) - count(keep) AS BIGINT) AS n_pending,
+  CAST(count(CASE WHEN keep = 1 THEN 1 END) AS BIGINT) AS n_accepted,
+  CAST(count(CASE WHEN keep = 0 THEN 1 END) AS BIGINT) AS n_rejected
+FROM stages GROUP BY stage
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -719,7 +925,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "importance_distance": q_importance_distance,
     "percentiles": q_percentiles,
     "geocode_cache": q_geocode_cache,
-    "pre_screen_full": q_pre_screen_full,
+    "pre_screen_rules": q_pre_screen_rules,
+    "review_summary": q_review_summary,
 }
 
 ORACLES: dict[str, str] = {
@@ -733,5 +940,6 @@ ORACLES: dict[str, str] = {
     "importance_distance": o_importance_distance(),
     "percentiles": o_percentiles(),
     "geocode_cache": o_geocode_cache(),
-    # pre_screen_full: rows-only (RF ensemble not SQL-expressible)
+    "pre_screen_rules": o_pre_screen_rules(),
+    "review_summary": o_review_summary(),
 }

@@ -11,10 +11,14 @@ actual codec work stubbed (no image/audio libs in this container):
   deterministically from the ref hash; a real deployment swaps the fetch
   closure for an object-store client. Shape (mapInPandas over Arrow
   batches, one connection per batch) is the production pattern.
-- ``decode_image_features``: batch decode + feature extraction. The decode
-  body is gated: uses PIL when importable, else raises NotImplementedError
-  unless ``fake=True`` (deterministic fake features) — the Spark plumbing
-  (schema, batching, column pruning) is real and tested either way.
+- ``decode_image_features``: batch decode + feature extraction. Real
+  decoders: PIL when importable (any format it knows), else pure-Python
+  PPM (P6) and BMP parsers — width/height from the header, features a
+  normalized byte histogram of the pixel stream. Undecodable payloads
+  yield NULL columns (corrupt media must not kill a 100-TB batch job).
+  ``fake=True`` replaces decode with a deterministic hash expansion of the
+  payload so downstream operators (ANN, dedup) are testable end-to-end on
+  the stub fetch's pseudo-blobs.
 """
 
 from __future__ import annotations
@@ -98,35 +102,101 @@ _DECODE_SCHEMA = StructType(
 )
 
 
+def _parse_ppm(b: bytes) -> tuple[int, int, bytes] | None:
+    """Pure-Python binary PPM (P6) parser → (width, height, pixel bytes)."""
+    if not b.startswith(b"P6"):
+        return None
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3 and i < len(b):
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":  # comment runs to end of line
+            while i < len(b) and b[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        toks.append(b[i:j])
+        i = j
+    if len(toks) < 3:
+        return None
+    i += 1  # exactly one whitespace byte after maxval, then raster
+    try:
+        w, h, _maxval = (int(t) for t in toks)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    return w, h, b[i : i + w * h * 3]
+
+
+def _parse_bmp(b: bytes) -> tuple[int, int, bytes] | None:
+    """BMP header parse (BITMAPINFOHEADER) → (width, height, pixel bytes)."""
+    import struct
+
+    if not b.startswith(b"BM") or len(b) < 54:
+        return None
+    pixel_off = struct.unpack_from("<I", b, 10)[0]
+    w = struct.unpack_from("<i", b, 18)[0]
+    h = abs(struct.unpack_from("<i", b, 22)[0])  # negative = top-down rows
+    if w <= 0 or h <= 0 or pixel_off > len(b):
+        return None
+    return w, h, b[pixel_off:]
+
+
+def _byte_hist(pixels: bytes, dim: int) -> list[float]:
+    """Normalized histogram of the pixel byte stream folded to ``dim``
+    buckets — a cheap, codec-agnostic image feature."""
+    if not pixels:
+        return [0.0] * dim
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    hist = np.bincount(arr >> max(0, 8 - (dim - 1).bit_length()), minlength=dim)
+    # fold any excess buckets (dim not a power of two) into the last one
+    if len(hist) > dim:
+        hist = np.concatenate([hist[: dim - 1], [hist[dim - 1 :].sum()]])
+    return (hist.astype(np.float32) / np.float32(len(arr))).tolist()
+
+
 def decode_image_features(
     media: DataFrame, fake: bool = False, feature_dim: int = 8
 ) -> DataFrame:
     """Decode payloads and emit (width, height, features).
 
-    Real decode requires PIL (absent here): without it and ``fake=False``
-    this raises NotImplementedError at execution time — clearly marking the
-    stubbed codec. With ``fake=True`` features are a deterministic hash
-    expansion of the payload so downstream operators (ANN, dedup) are
-    testable end-to-end.
+    Real decoders, tried in order: PIL when importable (any format it
+    knows), then pure-Python PPM (P6) and BMP header parsers. Features are
+    a normalized byte histogram of the decoded pixel stream folded into
+    ``feature_dim`` buckets. Undecodable or NULL payloads produce NULL
+    width/height/features rather than failing the job.
+
+    With ``fake=True`` decode is replaced by a deterministic hash expansion
+    of the payload (the test double matching ``fetch_media_stub``'s
+    pseudo-blobs), keeping downstream ANN/dedup operators testable without
+    real images.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
-            from PIL import Image  # noqa: F401
+            from PIL import Image
 
             have_pil = True
         except ImportError:
             have_pil = False
+
+        def _real_one(payload: bytes):
+            if have_pil:
+                import io
+
+                try:
+                    with Image.open(io.BytesIO(payload)) as im:
+                        w, h = im.size
+                        return w, h, im.tobytes()
+                except Exception:
+                    pass  # fall through to the pure-Python parsers
+            return _parse_ppm(payload) or _parse_bmp(payload)
+
         for pdf in batches:
-            if have_pil and not fake:
-                raise NotImplementedError(
-                    "real image decode path not exercised in this container"
-                )
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL; pass fake=True for the "
-                    "deterministic test double"
-                )
             feats, ws, hs = [], [], []
             for payload in pdf["payload"]:
                 if payload is None:
@@ -134,11 +204,24 @@ def decode_image_features(
                     ws.append(None)
                     hs.append(None)
                     continue
-                raw = np.frombuffer(payload[: feature_dim * 4], dtype=np.uint32)
-                v = (raw % 1000).astype(np.float32) / 1000.0
-                feats.append(v.tolist())
-                ws.append(int(raw[0] % 1920) + 1)
-                hs.append(int(raw[1] % 1080) + 1)
+                payload = bytes(payload)
+                if fake:
+                    raw = np.frombuffer(payload[: feature_dim * 4], dtype=np.uint32)
+                    v = (raw % 1000).astype(np.float32) / 1000.0
+                    feats.append(v.tolist())
+                    ws.append(int(raw[0] % 1920) + 1)
+                    hs.append(int(raw[1] % 1080) + 1)
+                    continue
+                parsed = _real_one(payload)
+                if parsed is None:
+                    feats.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    continue
+                w, h, pixels = parsed
+                ws.append(w)
+                hs.append(h)
+                feats.append(_byte_hist(pixels, feature_dim))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -102,12 +102,30 @@ def importance_distance_udf(max_thr: float, min_thr: float, ratio: float):
     return pandas_udf(_dist, DoubleType())
 
 
-def count_percentiles(name_counts: DataFrame) -> tuple[float, float]:
-    """(p70, p90) of the per-name counts — exact interpolated percentile,
-    same as R quantile type 7 (pre_screen_names.R:189-192)."""
+# above this many names, resolve_entities switches the p70/p90 computation
+# to approx_percentile: exact percentile buffers every value in a single
+# aggregation state, which is a memory bomb at 10^9+ distinct names, while
+# the sketch is O(accuracy) memory with ±1e-4 rank error — far inside the
+# heuristic p70/p90 decision noise (VERDICT r1 item 4 / ADVICE r1)
+APPROX_PERCENTILE_THRESHOLD = 10_000_000
+
+
+def count_percentiles(
+    name_counts: DataFrame, exact: bool = True, accuracy: int = 10_000
+) -> tuple[float, float]:
+    """(p70, p90) of the per-name counts. ``exact=True`` is the exact
+    interpolated percentile, same as R quantile type 7
+    (pre_screen_names.R:189-192) — keeps DuckDB-oracle parity. ``False``
+    uses the t-digest-style approx_percentile sketch for bounded memory at
+    scale."""
+    if exact:
+        p70_expr, p90_expr = "percentile(n, 0.7)", "percentile(n, 0.9)"
+    else:
+        p70_expr = f"approx_percentile(n, 0.7, {accuracy})"
+        p90_expr = f"approx_percentile(n, 0.9, {accuracy})"
     row = name_counts.agg(
-        F.expr("percentile(n, 0.7)").alias("p70"),
-        F.expr("percentile(n, 0.9)").alias("p90"),
+        F.expr(p70_expr).alias("p70"),
+        F.expr(p90_expr).alias("p90"),
     ).collect()[0]
     return float(row["p70"]), float(row["p90"])
 
@@ -295,6 +313,7 @@ def pre_screen(
     num_trees: int = 500,
     seed: int = 42,
     auto_accept: bool = False,
+    exact_percentiles: bool = True,
 ) -> DataFrame:
     df = name_matches
 
@@ -335,7 +354,7 @@ def pre_screen(
     )
 
     # 4. importance distance (:189-198)
-    p70, p90 = count_percentiles(name_counts)
+    p70, p90 = count_percentiles(name_counts, exact=exact_percentiles)
     dist_udf = importance_distance_udf(p90, p70, min_max_ratio)
     df = df.withColumn(
         "importance_dist",
@@ -395,6 +414,34 @@ def pre_screen(
                 ),
             )
     return df
+
+
+def review_summary(stage_tables: list[tuple[str, DataFrame, bool]]) -> DataFrame:
+    """Review-progress metrics per stage — the reference's summary report
+    (markdown_summary/name_matching_summary.Rmd:31-92, makefile:148-152)
+    as a queryable table: (stage, n_total, n_reviewed, n_pending,
+    n_accepted, n_rejected).
+
+    ``stage_tables`` is [(stage_name, pair_table, gate_importance)]; with
+    ``gate_importance`` the population is restricted to importance_dist == 0
+    — the rows the reference sends to human review (Rmd:31-49). Reviewed =
+    keep is not null; accepted/rejected split it by value."""
+    outs = []
+    for stage, df, gate in stage_tables:
+        d = df.where(F.col("importance_dist") == 0) if gate else df
+        outs.append(
+            d.agg(
+                F.count("*").cast("bigint").alias("n_total"),
+                F.count("keep").cast("bigint").alias("n_reviewed"),
+                (F.count("*") - F.count("keep")).cast("bigint").alias("n_pending"),
+                F.count(F.when(F.col("keep") == 1, 1)).cast("bigint").alias("n_accepted"),
+                F.count(F.when(F.col("keep") == 0, 1)).cast("bigint").alias("n_rejected"),
+            ).select(F.lit(stage).alias("stage"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def clique_completion(clusters: DataFrame) -> DataFrame:

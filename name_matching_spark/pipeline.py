@@ -254,7 +254,13 @@ def resolve_entities(
     from .operators.extract import extract_names
     from .operators.prescreen import pre_screen
 
+    from .operators.prescreen import APPROX_PERCENTILE_THRESHOLD
+
     names = extract_names(documents).cache()
+    # exact percentiles buffer all values in one aggregation state; above
+    # the threshold switch to the bounded-memory sketch (the count is free:
+    # `names` is cached and re-used by every downstream stage)
+    exact_pct = names.count() <= APPROX_PERCENTILE_THRESHOLD
     mm = match_names(names.select("name"), **match_kwargs)
     master = materialize(mm.master, eager=False)
     addr_pairs = match_addresses(addresses) if addresses is not None else None
@@ -267,6 +273,7 @@ def resolve_entities(
         prior_clusters=prior_clusters,
         num_trees=num_trees,
         auto_accept=auto_accept,
+        exact_percentiles=exact_pct,
     )
     screened = materialize(screened, eager=False)
     clusters = name_clusters(screened)

@@ -1,0 +1,101 @@
+"""Seeded property tests for the RF screen (VERDICT r1 item 2: the
+ensemble itself is not SQL-expressible, so instead of a DuckDB oracle it
+gets (a) a monotonicity property — clearly-better features must score
+higher — and (b) fixed-seed determinism of the full prediction vector.
+Everything deterministic around the RF (rules 1-6) is hash-checked by the
+``pre_screen_rules`` contract oracle."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from name_matching_spark.operators.prescreen import (
+    _RF_FEATURES,
+    rf_cutoff,
+    rf_predict,
+    train_rf,
+)
+
+
+def _training_frame(spark, n=120, seed=11):
+    """Synthetic candidate pairs: positives have high similarity features
+    (low jw_distance), negatives the opposite, with noise."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        pos = i % 2 == 0
+        # overlapping class distributions so the forest's vote is graded,
+        # not unanimous (a perfectly-separable set makes every prob 0/1)
+        base = 0.65 if pos else 0.35
+        rows.append(
+            (
+                f"N{i:03d}",
+                f"M{i:03d}",
+                float(rng.randint(1, 3) if pos else rng.randint(0, 2)),  # shared_words
+                min(1.0, max(0.0, base + rng.uniform(-0.25, 0.25))),     # cosine
+                (0.1 if pos else 0.3) + rng.uniform(0, 0.15),            # jw_distance
+                1.0,                                                     # human_jw
+                4,                                                       # word_count
+                float(rng.randint(2, 50)),                               # sum_n
+                min(1.0, max(0.0, base + rng.uniform(-0.25, 0.25))),     # token_sim
+                1.0 if pos else 0.0,                                     # keep
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "name string, match string, shared_words double, cosine_similarity double, "
+        "jw_distance double, human_jw_distance double, word_count int, "
+        "sum_n double, token_sim double, keep double",
+    )
+
+
+def test_rf_monotonic_and_separating(spark):
+    train = _training_frame(spark).cache()
+    assembler, model = train_rf(train, num_trees=50, seed=42)
+    probe = spark.createDataFrame(
+        [
+            ("good", "g", 4.0, 0.95, 0.02, 1.0, 4, 30.0, 0.95),
+            ("mid", "m", 2.0, 0.55, 0.20, 1.0, 4, 20.0, 0.55),
+            ("bad", "b", 0.0, 0.05, 0.45, 1.0, 4, 10.0, 0.05),
+        ],
+        "name string, match string, shared_words double, cosine_similarity double, "
+        "jw_distance double, human_jw_distance double, word_count int, "
+        "sum_n double, token_sim double",
+    )
+    scored = {r["name"]: r["rf_prob"] for r in rf_predict(probe, assembler, model).collect()}
+    # dominating features ⇒ ordered probabilities, and the extremes separate
+    assert scored["good"] > scored["mid"] > scored["bad"]
+    assert scored["good"] > 0.8 and scored["bad"] < 0.2
+    # the depth-1 cutoff tree lands between the two classes
+    cutoff = rf_cutoff(train, num_trees=50, seed=42)
+    assert scored["bad"] < cutoff < scored["good"]
+
+
+def test_rf_fixed_seed_deterministic(spark):
+    train = _training_frame(spark).cache()
+    preds = []
+    for _ in range(2):
+        assembler, model = train_rf(train, num_trees=50, seed=42)
+        scored = rf_predict(train.select("name", "match", *_RF_FEATURES), assembler, model)
+        preds.append(
+            tuple(
+                (r["name"], round(r["rf_prob"], 12))
+                for r in scored.orderBy("name").collect()
+            )
+        )
+    assert preds[0] == preds[1]
+
+
+def test_percentiles_approx_close_to_exact(spark):
+    # scale switch (VERDICT r1 item 4): the sketch lands within one count
+    # unit of the exact interpolated percentile on a realistic distribution
+    from name_matching_spark.operators.prescreen import count_percentiles
+
+    counts = spark.createDataFrame(
+        [(f"n{i}", (i % 97) + 1) for i in range(3000)], "name string, n long"
+    )
+    e70, e90 = count_percentiles(counts, exact=True)
+    a70, a90 = count_percentiles(counts, exact=False)
+    assert abs(a70 - e70) <= 1.0 and abs(a90 - e90) <= 1.0

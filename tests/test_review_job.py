@@ -1,0 +1,67 @@
+"""Review-loop job wiring: emit pending pairs ordered by importance,
+ingest hand labels never-overwrite, progress summary (reference
+pre_screen_names.R:198,226 + name_matching_summary.Rmd)."""
+
+import importlib.util
+import json
+import os
+
+
+def _load_job():
+    path = os.path.join(os.path.dirname(__file__), "..", "jobs", "review_job.py")
+    spec = importlib.util.spec_from_file_location("review_job", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_review_loop(spark, tmp_path, capsys):
+    job = _load_job()
+    ckpt = tmp_path / "ckpt"
+    screened = spark.createDataFrame(
+        [
+            ("A CO", "A CORP", 0.0, 0.9, None),
+            ("B LLC", "B LTD", 2.5, 0.4, None),
+            ("C INC", "C CO", 0.0, 0.95, 1.0),   # already decided
+        ],
+        "name string, match string, importance_dist double, rf_prob double, keep double",
+    )
+    screened.write.parquet(str(ckpt / "pre_screen"))
+
+    # emit: only undecided pairs, most important (dist 0) first
+    out_dir = str(tmp_path / "review1")
+    job.main(["emit", "--checkpoint", str(ckpt), "--out", out_dir])
+    emitted = spark.read.option("header", True).csv(out_dir).collect()
+    assert [r["name"] for r in emitted] == ["A CO", "B LLC"]
+
+    # human fills keep for the first pair → ingest
+    store = str(tmp_path / "labels")
+    reviewed1 = str(tmp_path / "done1")
+    spark.createDataFrame(
+        [("A CO", "A CORP", "1"), ("B LLC", "B LTD", None)],
+        "name string, match string, keep string",
+    ).coalesce(1).write.option("header", True).csv(reviewed1)
+    job.main(["ingest", "--reviewed", reviewed1, "--labels-store", store])
+
+    # a later conflicting import must NOT overwrite the earlier decision
+    reviewed2 = str(tmp_path / "done2")
+    spark.createDataFrame(
+        [("A CO", "A CORP", "0"), ("B LLC", "B LTD", "0")],
+        "name string, match string, keep string",
+    ).coalesce(1).write.option("header", True).csv(reviewed2)
+    job.main(["ingest", "--reviewed", reviewed2, "--labels-store", store])
+    labels = {
+        (r["name"], r["match"]): r["keep"]
+        for r in spark.read.parquet(os.path.join(store, "labels.parquet")).collect()
+    }
+    assert labels[("A CO", "A CORP")] == 1.0  # first decision wins
+    assert labels[("B LLC", "B LTD")] == 0.0  # new pair accepted
+
+    # summary: modeled stage gates on importance_dist == 0
+    capsys.readouterr()
+    job.main(["summary", "--checkpoint", str(ckpt)])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    by_stage = {r["stage"]: r for r in report["review_summary"]}
+    assert by_stage["modeled"]["n_total"] == 2      # the two dist-0 pairs
+    assert by_stage["modeled"]["n_reviewed"] == 1   # C INC decided
+    assert by_stage["all_pairs"]["n_pending"] == 2

@@ -53,7 +53,72 @@ def test_incremental_ingest(spark, tmp_path):
     frontier = {r["name"] for r in new_names_since(spark, table, max_batch).collect()}
     assert frontier == {"CREST LLC"}
 
-    # compaction preserves the aggregate
+    # compaction preserves the aggregate AND the first-seen frontier
+    # (ADVICE r1: min(first_batch) must survive the fold)
     compact_name_counts(spark, table)
     counts3 = {r["name"]: r["n"] for r in read_name_counts(spark, table).collect()}
     assert counts3 == counts2
+    frontier_after = {
+        r["name"] for r in new_names_since(spark, table, max_batch).collect()
+    }
+    assert frontier_after == {"CREST LLC"}
+
+
+def _ts_span_docs(spark, path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "event_time timestamp",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_windowed_counts_kill_and_resume(spark, tmp_path):
+    # VERDICT r1 item 10: watermarked sliding-window aggregation whose state
+    # survives a query kill + restart from the same checkpoint
+    import datetime as dt
+
+    from name_matching_spark.streaming.ingest import (
+        read_windowed_counts,
+        start_windowed_name_counts,
+    )
+
+    src = str(tmp_path / "wsrc")
+    table = str(tmp_path / "wtable")
+    ckpt = str(tmp_path / "wckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    _ts_span_docs(spark, src, [
+        ("d1", [_span("ACME OIL")], at(0)),
+        ("d2", [_span("ACME OIL"), _span("BOLT GAS")], at(3)),
+    ])
+    q = start_windowed_name_counts(
+        spark, src, table, ckpt, window="10 minutes", slide="5 minutes"
+    )
+    q.awaitTermination(120)
+
+    # kill happened (availableNow terminated); second wave lands IN the same
+    # windows → restart must restore window state, not restart counts at 0
+    _ts_span_docs(spark, src, [
+        ("d3", [_span("ACME OIL")], at(4)),
+        ("d4", [_span("CREST LLC")], at(12)),
+    ])
+    q2 = start_windowed_name_counts(
+        spark, src, table, ckpt, window="10 minutes", slide="5 minutes"
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["name"]): r["n"]
+        for r in read_windowed_counts(spark, table).collect()
+    }
+    # batch twin: sliding windows of 10m every 5m over all four docs
+    # ACME events at 0,3,4 → window [11:55,12:05): 3, [12:00,12:10): 3
+    assert got[(at(-5), "ACME OIL")] == 3
+    assert got[(at(0), "ACME OIL")] == 3
+    assert got[(at(0), "BOLT GAS")] == 1
+    assert got[(at(10), "CREST LLC")] == 1
+    assert got[(at(5), "CREST LLC")] == 1
