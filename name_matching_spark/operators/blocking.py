@@ -91,8 +91,33 @@ def pairs_from_index(
     else:
         # schema-stable empty lineage table (evaluated lazily; trivial agg)
         dropped = hot_keys(index, key_col, (1 << 62))
-    tasks = split_oversized_blocks(index, key_col, name_col, cap=max_block)
-    a = tasks.select(
+    # two paths: blocks within the cap take the plain equi self-join (no
+    # extra hashing/replication on the overwhelmingly common case); only
+    # oversized blocks pay the split machinery. Block size via a window
+    # count — one shuffle on the key that the pair self-join then reuses,
+    # instead of a separate aggregate + join.
+    from pyspark.sql import Window
+
+    idx = index.withColumn(
+        "_bs", F.count("*").over(Window.partitionBy(key_col))
+    )
+    small = idx.where(F.col("_bs") <= max_block).drop("_bs")
+    large = idx.where(F.col("_bs") > max_block).drop("_bs")
+
+    a = small.select(F.col(key_col).alias("_k"), F.col(name_col).alias("_na"))
+    b = small.select(F.col(key_col).alias("_k"), F.col(name_col).alias("_nb"))
+    pairs_small = (
+        a.join(b, "_k")
+        .where(F.col("_na") < F.col("_nb"))
+        .select(
+            F.col("_na").alias("name"),
+            F.col("_nb").alias("match"),
+            F.col("_k").alias(key_col),
+        )
+    )
+
+    tasks = split_oversized_blocks(large, key_col, name_col, cap=max_block)
+    ta = tasks.select(
         "task_key",
         "task_lo",
         "task_hi",
@@ -100,7 +125,7 @@ def pairs_from_index(
         F.col("name").alias("_na"),
         F.col("sub_group").alias("_ga"),
     )
-    b = tasks.select(
+    tb = tasks.select(
         "task_key",
         F.col("name").alias("_nb"),
         F.col("sub_group").alias("_gb"),
@@ -108,8 +133,8 @@ def pairs_from_index(
     # side rule: diagonal tasks (lo == hi) enumerate the upper triangle of
     # their single sub-group; off-diagonal tasks pair the lo side against the
     # hi side exactly once (each name lives in exactly one sub-group).
-    pairs = (
-        a.join(b, "task_key")
+    pairs_large = (
+        ta.join(tb, "task_key")
         .where(
             (
                 (F.col("task_lo") == F.col("task_hi"))
@@ -127,7 +152,7 @@ def pairs_from_index(
             F.col("block_key").alias(key_col),
         )
     )
-    return pairs, dropped
+    return pairs_small.unionByName(pairs_large), dropped
 
 
 def shared_word_pairs(
