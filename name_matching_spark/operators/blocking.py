@@ -98,11 +98,19 @@ def pairs_from_index(
     # instead of a separate aggregate + join.
     from pyspark.sql import Window
 
+    from ..session import materialize
+
     idx = index.withColumn(
         "_bs", F.count("*").over(Window.partitionBy(key_col))
     )
+    # the sized index feeds BOTH sides of the self-join plus the split
+    # branch — materialize once, or Catalyst re-plans the explode/distinct/
+    # window subtree per branch (and would happily broadcast a re-computed
+    # copy of the whole index as the build side)
+    idx = materialize(idx, eager=True)
     small = idx.where(F.col("_bs") <= max_block).drop("_bs")
-    large = idx.where(F.col("_bs") > max_block).drop("_bs")
+    # keep _bs: split_oversized_blocks reuses it instead of re-aggregating
+    large = idx.where(F.col("_bs") > max_block)
 
     a = small.select(F.col(key_col).alias("_k"), F.col(name_col).alias("_na"))
     b = small.select(F.col(key_col).alias("_k"), F.col(name_col).alias("_nb"))
@@ -255,9 +263,16 @@ def split_oversized_blocks(
     A block of size B gets g = ceil(B/cap) sub-groups; a name in sub-group
     gi is replicated to all task keys (gi, gj), gi ≤ gj < g, tagged with the
     side it plays, so cross-sub-group pairs are produced exactly once.
+
+    If the index already carries a ``_bs`` block-size column (the window
+    count computed by ``pairs_from_index``), it is reused — no second
+    aggregation over the index.
     """
-    sizes = index.groupBy(key_col).agg(F.count("*").alias("_bs"))
-    idx = index.join(sizes, key_col)
+    if "_bs" in index.columns:
+        idx = index
+    else:
+        sizes = index.groupBy(key_col).agg(F.count("*").alias("_bs"))
+        idx = index.join(sizes, key_col)
     idx = idx.withColumn("_g", F.expr(f"int(ceil(_bs / {cap}))"))
     idx = idx.withColumn("_gi", F.pmod(F.xxhash64(F.col(name_col)), F.col("_g")).cast("int"))
     # replicate each row to every (min(gi,gj), max(gi,gj)) task it joins
