@@ -166,3 +166,19 @@ NICKNAMES: tuple[tuple[str, str], ...] = (
     ("SANDRA", "SANDY"),
     ("GREGORY", "GREG"),
 )
+
+
+def normalized_stoplist(words) -> list[str]:
+    """Stoplist entries in token-normal form: tokens are compared AFTER
+    punctuation stripping + uppercasing, so hyphenated entries (e.g.
+    HAYNESVILLE-BOSSIER) must be normalized the same way or they can never
+    match a token (found at the sf1 stress run — un-dropped region words
+    produced cross-entity shared-token false matches). Keeps the original
+    spellings too (harmless: punctuated forms simply never match)."""
+    import re
+
+    out = set()
+    for w in words:
+        out.add(w)
+        out.add(re.sub(r"[^\w\s]", "", w.upper()))
+    return sorted(out)

@@ -33,7 +33,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .constants import COMMON_WORDS, STANDALONE_WORDS
+from .constants import COMMON_WORDS, STANDALONE_WORDS, normalized_stoplist
 
 # ---------------------------------------------------------------------------
 # dialect helpers
@@ -47,8 +47,8 @@ def _duck_arr(words) -> str:
     return "[" + ",".join(_sq(w) for w in words) + "]"
 
 
-_COMMON_SORTED = sorted(set(COMMON_WORDS))
-_STANDALONE_SORTED = sorted(set(STANDALONE_WORDS))
+_COMMON_SORTED = normalized_stoplist(COMMON_WORDS)
+_STANDALONE_SORTED = normalized_stoplist(STANDALONE_WORDS)
 
 # md5 → int64 (identical in both engines; positive, < 2^60)
 SPARK_H = "cast(conv(substr(md5({x}),1,15),16,10) as bigint)"
@@ -300,6 +300,22 @@ def q_shared_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prepped = _spark_prepped(spark, sf_dir)
     scored, _ = shared_word_pairs(prepped, "bag_shared", max_block=1_000_000)
+    return scored.select(
+        "name", "match", F.col("shared_words").cast("bigint").alias("shared_words")
+    )
+
+
+def q_shared_word_pairs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 skew path: the SAME pair semantics under a deliberately tiny
+    block cap (50) — the sf0.01 corpus has Zipf-hot first tokens, so this
+    genuinely routes blocks through cap-and-split with replicated
+    boundaries. Hash-equality against the unsplit oracle is the
+    cross-engine proof that splitting loses and duplicates nothing."""
+    from .operators.blocking import shared_word_pairs
+
+    prepped = _spark_prepped(spark, sf_dir)
+    scored, dropped = shared_word_pairs(prepped, "bag_shared", max_block=50)
+    # dropped must be empty by construction (nothing is hard-dropped)
     return scored.select(
         "name", "match", F.col("shared_words").cast("bigint").alias("shared_words")
     )
@@ -633,6 +649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_name": q_clean_name,
     "word_bag": q_word_bag,
     "shared_word_pairs": q_shared_word_pairs,
+    "shared_word_pairs_split": q_shared_word_pairs_split,
     "tfidf_cosine": q_tfidf_cosine,
     "jaro_pairs": q_jaro_pairs,
     "minhash_bands": q_minhash_bands,
@@ -645,6 +662,7 @@ ORACLES: dict[str, str] = {
     "clean_name": o_clean_name(),
     "word_bag": o_word_bag(),
     "shared_word_pairs": o_shared_word_pairs(),
+    "shared_word_pairs_split": o_shared_word_pairs(),
     "tfidf_cosine": o_tfidf_cosine(),
     "jaro_pairs": o_jaro_pairs(),
     "minhash_bands": o_minhash_bands(),

@@ -163,6 +163,11 @@ def _first_name_tokens() -> list[str]:
     return sorted(set(FIRST_NAMES) | {s for s, _ in NICKNAMES} | nick_std)
 
 
+def _duck_first_arr() -> str:
+    """The first-name token set as a DuckDB array literal."""
+    return "[" + ",".join(_sq(t) for t in _first_name_tokens()) + "]"
+
+
 def duck_human_extract_cte(source_values: str | None = None) -> str:
     """CTE chain: humans0(name) → extracted(name, company, last_name,
     first_name, initials list) replicating extract_name + the human-mode
@@ -801,18 +806,46 @@ r1 AS (
     coalesce(im, FALSE) AS im
   FROM p0
 ),
--- rule 1b: cross-surname screen via the human-name parse
+-- rule 1b: cross-surname screen via the human-name parse, with the
+-- positional surrogate + dictionary fallback + human-likeness override
+-- + levenshtein typo guard (mirror of operators/prescreen.py)
+eff AS (
+  SELECT name,
+    ((NOT company) OR (
+        len(list_filter(string_split(clean_name, ' '),
+            t -> length(t) >= 3
+                 AND NOT list_contains({_duck_first_arr()}, t))) = 1
+        AND len(list_filter(string_split(clean_name, ' '),
+            t -> length(t) <= 2
+                 OR list_contains({_duck_first_arr()}, t))) >= 1
+    )) AS human_like,
+    CASE WHEN len(string_split(clean_name, ' ')) >= 2
+          AND len(list_filter(string_split(clean_name, ' '),
+                  t -> length(t) >= 3
+                       AND NOT list_contains({_duck_first_arr()}, t))) >= 1
+    THEN list_extract(list_filter(string_split(clean_name, ' '),
+                  t -> length(t) >= 3
+                       AND NOT list_contains({_duck_first_arr()}, t)), 1)
+    WHEN len(string_split(clean_name, ' ')) >= 2
+          AND len(list_filter(string_split(clean_name, ' '),
+                  t -> length(t) >= 3
+                       AND NOT list_contains({_duck_first_arr()}, t))) = 0
+          AND length(last_name) >= 3
+    THEN last_name
+    END AS eff_last
+  FROM extracted
+),
 r1b AS (
   SELECT r1.name, r1.match,
     CASE WHEN r1.keep IS NULL
-          AND NOT coalesce(ea.company, TRUE) AND NOT coalesce(eb.company, TRUE)
-          AND ea.last_name IS NOT NULL AND eb.last_name IS NOT NULL
-          AND ea.last_name <> eb.last_name
+          AND coalesce(ea.human_like, FALSE) AND coalesce(eb.human_like, FALSE)
+          AND ea.eff_last IS NOT NULL AND eb.eff_last IS NOT NULL
+          AND levenshtein(ea.eff_last, eb.eff_last) > 2
          THEN 0.0 ELSE r1.keep END AS keep,
     hjw, hcos, im
   FROM r1
-  LEFT JOIN extracted ea ON r1.name = ea.name
-  LEFT JOIN extracted eb ON r1.match = eb.name
+  LEFT JOIN eff ea ON r1.name = ea.name
+  LEFT JOIN eff eb ON r1.match = eb.name
 ),
 -- rule 2: address verification overrides
 r2 AS (

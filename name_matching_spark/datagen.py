@@ -56,18 +56,88 @@ def _invent_word(rng: random.Random, syllables: int) -> str:
 
 
 def _distinct_words(rng: random.Random, n: int) -> list[str]:
-    """Invented distinctive tokens, pairwise dissimilar (greedy prefix-bucket
-    filter keeps any two accepted words Jaro-far enough for clean blocking)."""
-    seen_prefix: set[str] = set()
+    """Invented distinctive tokens with an enforced pairwise Jaro gap.
+
+    The round-1 prefix-bucket filter only separated 4-char prefixes; at
+    sf1's ~24k-word pool it emitted Jaro-near cross-entity word pairs
+    (PINMU vs PIGNUM, jw 0.12) that are *indistinguishable in principle*
+    from genuine typo aliases — an adversarially degenerate fixture, not a
+    realistic corpus. Words are now ≥10-char random CVC strings rejected
+    at Jaro ≥ 0.82 against every accepted word found through a 3-gram
+    inverted index. A few transposition-heavy pairs sharing no 3-gram can
+    still slip past the blocking (measured max ≈ 0.87 similarity in a 3k
+    sample) — that residue mirrors real-world near-twin names, which are
+    resolved by address/context evidence, modeled separately."""
+    # Restricted alphabet: chosen so NO company-classifier keyword
+    # (constants.COMPANY_KEYWORDS — substring semantics faithful to the
+    # reference) can occur inside any generated word; 'OG' in particular
+    # was classifying fabricated surnames as companies and blinding the
+    # cross-surname screen (sf1 stress run). Excluded letters {O P T C G
+    # U Y X Q J} cover every keyword; the CVC syllable structure rules out
+    # the space-anchored ones (a word can never end in consonant-consonant).
+    cons, vows = "BDFHKLMNRSVWZ", "AEI"
+    # Near-duplicate rejection: a candidate is compared (exact Jaro)
+    # against every accepted word sharing >= 3 character 3-grams — the
+    # cheap blocking that catches Jaro-near pairs — and rejected at
+    # similarity >= 0.82 (the typo-accept channel fires at >= 0.85). The
+    # round-1 prefix filter had no such guarantee and emitted cross-entity
+    # near-twins (PINMU/PIGNUM) indistinguishable from typo aliases.
+    def _jaro(s1: str, s2: str) -> float:
+        md = max(len(s1), len(s2)) // 2 - 1
+        f1 = [False] * len(s1)
+        f2 = [False] * len(s2)
+        m = 0
+        for i, c in enumerate(s1):
+            for j in range(max(0, i - md), min(len(s2), i + md + 1)):
+                if not f2[j] and s2[j] == c:
+                    f1[i] = f2[j] = True
+                    m += 1
+                    break
+        if not m:
+            return 0.0
+        t = 0
+        j = 0
+        for i in range(len(s1)):
+            if f1[i]:
+                while not f2[j]:
+                    j += 1
+                if s1[i] != s2[j]:
+                    t += 1
+                j += 1
+        return (m / len(s1) + m / len(s2) + (m - t / 2) / m) / 3
+
+    import re
+
+    from .constants import COMPANY_KEYWORDS
+
+    kw = re.compile("(?i)(" + "|".join(COMPANY_KEYWORDS) + ")")
+    grams: dict[str, list[int]] = {}
     out: list[str] = []
     while len(out) < n:
-        w = _invent_word(rng, rng.randint(2, 3))
-        if len(w) < 5 or len(w) > 12:
+        # ≥10 chars: at these lengths a Jaro-similarity ≥ 0.8 pair cannot
+        # avoid sharing a character 3-gram, so the inverted-index blocking
+        # below sees every dangerous candidate
+        w = "".join(
+            rng.choice(cons) + rng.choice(vows) + (rng.choice(cons) if rng.random() < 0.5 else "")
+            for _ in range(rng.randint(4, 5))
+        )
+        if len(w) < 10:
             continue
-        p = w[:4]
-        if p in seen_prefix:
+        # belt-and-braces: the alphabet excludes almost every keyword, but
+        # boundary-anchored ones (\sLAND) can still match at word edges
+        if kw.search(f" {w} "):
             continue
-        seen_prefix.add(p)
+        gs = {w[i : i + 3] for i in range(len(w) - 2)}
+        counts: dict[int, int] = {}
+        for g in gs:
+            for idx in grams.get(g, ()):
+                counts[idx] = counts.get(idx, 0) + 1
+        # a single shared 3-gram already triggers the exact check:
+        # transposition-heavy Jaro-near pairs can share as little as one
+        if any(_jaro(w, out[idx]) >= 0.82 for idx in counts):
+            continue
+        for g in gs:
+            grams.setdefault(g, []).append(len(out))
         out.append(w)
     return out
 
@@ -269,11 +339,16 @@ def generate_corpus(n_entities: int = 200, seed: int = 42,
     # pair the *surfaces that share the token* so the labeled pair is an
     # actual candidate pair (training joins labels against the candidate
     # table — a label for a non-candidate pair is silently dropped).
+    # ALL shared tokens qualify, including 1-2 char initials: same-initials
+    # cross-entity human names ('A J X' vs 'A J Y') are the candidate-pair
+    # family that explodes quadratically at scale, and excluding them from
+    # the labeled negatives leaves the RF blind to it (found at sf1, where
+    # it collapsed pairwise precision; the reference's sample was drawn
+    # from actual candidate pairs, which include these).
     tok_surfaces: dict[str, dict[int, str]] = {}
     for s, eid in surface_forms:
         for tok in s.upper().replace(",", " ").replace(".", " ").split():
-            if len(tok) > 2:
-                tok_surfaces.setdefault(tok, {}).setdefault(eid, s)
+            tok_surfaces.setdefault(tok, {}).setdefault(eid, s)
     hard = []
     for tok in sorted(tok_surfaces):
         per_entity = tok_surfaces[tok]
@@ -325,7 +400,7 @@ def sf_from_path(sf_dir: str) -> str:
     return base if base in SF_ENTITIES else "sf0.01"
 
 
-FIXTURE_VERSION = 2  # bump to force regeneration after datagen changes
+FIXTURE_VERSION = 5  # bump to force regeneration after datagen changes
 
 
 def ensure_fixtures(sf: str = "sf0.01", seed: int = 42) -> str:

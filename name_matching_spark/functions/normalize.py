@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..constants import COMMON_WORDS, STANDALONE_WORDS
+from ..constants import COMMON_WORDS, STANDALONE_WORDS, normalized_stoplist
 
 
 def _sql_str(s: str) -> str:
@@ -44,8 +44,8 @@ def _array_lit(words) -> str:
     return "array(" + ",".join(_sql_str(w) for w in words) + ")"
 
 
-_COMMON_ARR = _array_lit(sorted(set(COMMON_WORDS)))
-_STANDALONE_ARR = _array_lit(sorted(set(STANDALONE_WORDS)))
+_COMMON_ARR = _array_lit(normalized_stoplist(COMMON_WORDS))
+_STANDALONE_ARR = _array_lit(normalized_stoplist(STANDALONE_WORDS))
 
 # per-token cleanup: É→E BEFORE upper (lowercase 'é' is intentionally not
 # mapped, matching the reference), ASCII-punct strip, upper, trim.

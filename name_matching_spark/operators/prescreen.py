@@ -173,9 +173,29 @@ def rf_predict(df: DataFrame, assembler, model) -> DataFrame:
     return out.drop("_features", *[f"_f_{c}" for c in _RF_FEATURES])
 
 
-def rf_cutoff(train: DataFrame, num_trees: int = 500, seed: int = 42) -> float:
-    """Cutoff via 80/20 split + depth-1 decision tree on rf_prob
-    (pre_screen_names.R:88-114). Returns the tree's split threshold."""
+def rf_thresholds(
+    train: DataFrame,
+    num_trees: int = 500,
+    seed: int = 42,
+    target_precision: float = 0.98,
+) -> tuple[float, float]:
+    """(cutoff, accept_threshold) from one 80/20 split.
+
+    ``cutoff`` is the reference's reviewer-routing rule: a depth-1 decision
+    tree on rf_prob (pre_screen_names.R:88-114) — below it, auto-reject.
+
+    ``accept_threshold`` is the AUTO-ACCEPT bar: the smallest held-out
+    rf_prob at which cumulative precision is ≥ ``target_precision``. The
+    reference sends everything above the cutoff to HUMAN review; replacing
+    that review with "accept at the same cutoff" was measured (sf1 stress
+    run) to admit borderline cross-entity pairs whose transitive closure
+    collapses cluster precision to ~0.01. Acceptance must clear a stricter,
+    precision-calibrated bar; the band between the two thresholds stays
+    keep=NULL — the review queue (jobs/review_job.py emits it).
+
+    The labeled sample is human-made and therefore small by construction
+    (the reference's was ~1 000 pairs), so the held-out scores fit on the
+    driver."""
     from pyspark.ml.classification import DecisionTreeClassifier
     from pyspark.ml.feature import VectorAssembler
 
@@ -192,9 +212,38 @@ def rf_cutoff(train: DataFrame, num_trees: int = 500, seed: int = 42) -> float:
     )
     # depth-1 tree: root split threshold; fall back to 0.5 on a degenerate tree
     try:
-        return float(dt_model._call_java("rootNode").split().threshold())
+        cutoff = float(dt_model._call_java("rootNode").split().threshold())
     except Exception:
-        return 0.5
+        cutoff = 0.5
+
+    rows = sorted(
+        (
+            (float(r["rf_prob"]), float(r["keep"]))
+            for r in scored.select("rf_prob", "keep").collect()
+        ),
+        reverse=True,
+    )
+    accept = 1.0  # degenerate default: accept nothing automatically
+    tp = fp = 0
+    best = None
+    i = 0
+    while i < len(rows):
+        j = i
+        while j < len(rows) and rows[j][0] == rows[i][0]:  # tie group
+            tp += rows[j][1] == 1.0
+            fp += rows[j][1] != 1.0
+            j += 1
+        if tp + fp > 0 and tp / (tp + fp) >= target_precision:
+            best = rows[i][0]
+        i = j
+    if best is not None:
+        accept = best
+    return cutoff, max(accept, cutoff)
+
+
+def rf_cutoff(train: DataFrame, num_trees: int = 500, seed: int = 42) -> float:
+    """The reviewer-routing cutoff alone (see rf_thresholds)."""
+    return rf_thresholds(train, num_trees=num_trees, seed=seed)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -223,37 +272,94 @@ def human_screen_rule(
 
 def cross_surname_screen(df: DataFrame) -> DataFrame:
     """Rule 1b (extension; automated stand-in for the reference's human
-    review): two names that BOTH parse as human names with DIFFERENT last
-    names are not the same person — a reviewer rejects 'JASON NELSON' vs
-    'JASON NGUYEN' on sight. Applied only where keep is still NULL and
-    before address verification, so address evidence can still override
-    (mirroring the reference's rule order, pre_screen_names.R:154-169).
+    review): two names that BOTH parse as human names with clearly
+    DIFFERENT last names are not the same person — a reviewer rejects
+    'JASON NELSON' vs 'JASON NGUYEN' on sight. Applied only where keep is
+    still NULL and before address verification, so address evidence can
+    still override (mirroring the reference's rule order,
+    pre_screen_names.R:154-169).
+
+    Surname resolution is dictionary-first with a positional fallback: when
+    the dictionary parse yields no last name (surnames outside the 55-entry
+    dictionary — the common case on real data), the LAST token of the
+    cleaned name stands in, provided the name has ≥2 tokens and the token
+    is ≥3 chars and not a known first name. Without the fallback this
+    screen is blind to exactly the pairs that explode quadratically at
+    scale — same-initials names with distinct out-of-dictionary surnames
+    ('A J SUMKUP' vs 'A J WUKBI') — which was measured to collapse sf1
+    pairwise precision to 0.01. A Levenshtein > 2 guard keeps typo'd
+    surname aliases ('JOHNSON'/'JOHNSTON') out of the auto-reject.
 
     The name-part table is recomputed from the pair table's distinct names —
     one dictionary-join pass over the name universe, broadcast-sized.
     """
+    from ..constants import FIRST_NAMES, NICKNAMES
     from ..functions.normalize import with_clean_name
     from .human import extract_name
 
+    first_tokens = sorted(
+        set(FIRST_NAMES) | {s for s, _ in NICKNAMES} | {n for _, n in NICKNAMES}
+    )
     names = (
         df.select(F.col("name").alias("nm"))
         .unionByName(df.select(F.col("match").alias("nm")))
         .distinct()
     )
     names = with_clean_name(names, "nm", "clean_name", drop_common=False, human=True)
-    parts = extract_name(names, "clean_name").select(
+    parts = extract_name(names, "clean_name")
+    toks = F.split(F.col("clean_name"), " ")
+    # Screen-surname = the first ≥3-char token that is NOT a known first
+    # name. This deliberately ignores the dictionary parse's last_name for
+    # the comparison: (a) fabricated/out-of-dictionary surnames parse to
+    # NULL, and (b) ambiguous tokens in BOTH dictionaries (THOMAS, SCOTT)
+    # win rank 2 and collapse every "THOMAS <X>" / "<Y> THOMAS" name onto
+    # last=THOMAS, blinding the screen — both measured at the sf1 stress
+    # run. A human reviewer keys on the distinctive token; so does this.
+    # NOTE the cleaned human form puts compacted initials LAST
+    # ("A H Sotzezom" → "SOTZEZOM AH"), so position alone is unreliable —
+    # filter by shape and take the first survivor; NULL when none exists
+    # (all-first-name/initial names never auto-reject here).
+    cand = F.filter(
+        toks, lambda t: (F.length(t) >= 3) & ~t.isin(*first_tokens)
+    )
+    # first-name/initial-shaped tokens (≤2 chars or dictionary first names)
+    first_ish = F.filter(
+        toks, lambda t: (F.length(t) <= 2) | t.isin(*first_tokens)
+    )
+    # Human-likeness: NOT company-classified, OR shaped like a person
+    # (exactly one surname candidate + a first-name/initial token). The
+    # classifier's substring keywords misfire on person names — '\sEP'
+    # matches compacted initials ("ZIWHINZIVLIKNA EP"), 'RIVER' matches
+    # RIVERA — and a misclassified person skips the screen entirely (sf1).
+    # Multi-candidate names (real companies, reordered-core aliases) stay
+    # excluded, so company alias pairs are never cross-compared.
+    human_like = (~F.col("company")) | (
+        (F.size(cand) == 1) & (F.size(first_ish) >= 1)
+    )
+    # surname for comparison: the candidate token; for all-first-name
+    # names ("THOMAS EMILY") fall back to the dictionary parse's surname
+    # (≥3 chars) — the only remaining signal there
+    surrogate = F.when(
+        (F.size(toks) >= 2) & (F.size(cand) >= 1), F.element_at(cand, 1)
+    ).when(
+        (F.size(toks) >= 2)
+        & (F.size(cand) == 0)
+        & (F.length("last_name") >= 3),
+        F.col("last_name"),
+    )
+    parts = parts.select(
         "nm",
-        F.col("company").alias("_comp"),
-        F.col("last_name").alias("_last"),
+        human_like.alias("_hum"),
+        surrogate.alias("_last"),
     )
     a = parts.select(
         F.col("nm").alias("name"),
-        F.col("_comp").alias("_comp_a"),
+        F.col("_hum").alias("_hum_a"),
         F.col("_last").alias("_last_a"),
     )
     b = parts.select(
         F.col("nm").alias("match"),
-        F.col("_comp").alias("_comp_b"),
+        F.col("_hum").alias("_hum_b"),
         F.col("_last").alias("_last_b"),
     )
     out = (
@@ -263,16 +369,16 @@ def cross_surname_screen(df: DataFrame) -> DataFrame:
             "keep",
             F.when(
                 F.col("keep").isNull()
-                & ~F.coalesce("_comp_a", F.lit(True))
-                & ~F.coalesce("_comp_b", F.lit(True))
+                & F.coalesce("_hum_a", F.lit(False))
+                & F.coalesce("_hum_b", F.lit(False))
                 & F.col("_last_a").isNotNull()
                 & F.col("_last_b").isNotNull()
-                & (F.col("_last_a") != F.col("_last_b")),
+                & (F.levenshtein("_last_a", "_last_b") > 2),
                 F.lit(0.0),
             ).otherwise(F.col("keep")),
         )
     )
-    return out.drop("_comp_a", "_comp_b", "_last_a", "_last_b")
+    return out.drop("_hum_a", "_hum_b", "_last_a", "_last_b")
 
 
 def address_verify_rule(df: DataFrame, address_matches: DataFrame | None) -> DataFrame:
@@ -397,7 +503,7 @@ def pre_screen(
             .fillna({c: 0.0 for c in _RF_FEATURES})
             .cache()
         )
-        cutoff = rf_cutoff(train, num_trees=num_trees, seed=seed)
+        cutoff, accept_thr = rf_thresholds(train, num_trees=num_trees, seed=seed)
         assembler, model = train_rf(train, num_trees=num_trees, seed=seed)
         df = rf_predict(df, assembler, model)
         df = df.withColumn(
@@ -407,11 +513,14 @@ def pre_screen(
             ),
         )
         if auto_accept:
+            # acceptance clears the precision-calibrated bar, NOT the
+            # reviewer-routing cutoff; the band [cutoff, accept_thr) stays
+            # NULL — the review queue (see rf_thresholds docstring)
             df = df.withColumn(
                 "keep",
-                F.when((F.col("rf_prob") >= cutoff) & F.col("keep").isNull(), 1.0).otherwise(
-                    F.col("keep")
-                ),
+                F.when(
+                    (F.col("rf_prob") >= accept_thr) & F.col("keep").isNull(), 1.0
+                ).otherwise(F.col("keep")),
             )
     return df
 

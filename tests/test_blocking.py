@@ -107,3 +107,68 @@ def test_minhash_bands_deterministic(spark):
         by_name.setdefault(r["name"], set()).add(r["band_key"])
     assert by_name["A"] == by_name["B"]          # identical bags → identical bands
     assert not (by_name["A"] & by_name["C"])     # disjoint bags → no collision
+
+
+def test_skew_stress_single_hot_block(spark):
+    # one block of 1200 names (719,400 pairs) under cap=100: complete,
+    # exact-once, and every task bounded — the "SMITH block" shape
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.operators.blocking import split_oversized_blocks
+
+    n = 1200
+    idx = spark.range(n).select(
+        F.concat(F.lit("NAME"), F.format_string("%05d", F.col("id"))).alias("name"),
+        F.lit("HOT").alias("token"),
+    )
+    pairs, dropped = pairs_from_index(idx, "token", max_block=100)
+    assert dropped.count() == 0
+    assert pairs.count() == n * (n - 1) // 2          # complete, exactly once
+    assert pairs.select("name", "match").distinct().count() == n * (n - 1) // 2
+    # task boundedness: a task holds two hash-assigned sub-groups of mean
+    # size cap, so ~2*cap ± binomial noise; 3*cap is a comfortable ceiling
+    tasks = split_oversized_blocks(idx, "token", cap=100)
+    biggest = tasks.groupBy("task_key").count().agg(F.max("count")).collect()[0][0]
+    assert biggest <= 3 * 100
+
+
+def test_split_fuzz_property(spark):
+    # randomized block layouts: split pair set == unsplit pair set for any
+    # (sizes, cap). hypothesis drives the shapes; Spark checks each one.
+    import pytest
+
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(1, 30), min_size=1, max_size=4),
+        cap=st.integers(2, 12),
+    )
+    def inner(sizes, cap):
+        import itertools
+
+        rows = [
+            (f"blk{b}_n{i:03d}", f"K{b}")
+            for b, size in enumerate(sizes)
+            for i in range(size)
+        ]
+        idx = spark.createDataFrame(rows, ["name", "token"])
+        pairs, dropped = pairs_from_index(idx, "token", max_block=cap)
+        assert dropped.count() == 0
+        got = sorted((r["name"], r["match"]) for r in pairs.collect())
+        expected = sorted(
+            pair
+            for b, size in enumerate(sizes)
+            for pair in itertools.combinations(
+                sorted(f"blk{b}_n{i:03d}" for i in range(size)), 2
+            )
+        )
+        assert got == expected  # complete AND exactly-once (list, not set)
+
+    inner()
