@@ -122,3 +122,44 @@ def test_windowed_counts_kill_and_resume(spark, tmp_path):
     assert got[(at(0), "BOLT GAS")] == 1
     assert got[(at(10), "CREST LLC")] == 1
     assert got[(at(5), "CREST LLC")] == 1
+
+
+def test_incremental_assign_stateful(spark, tmp_path):
+    # custom stateful operator (applyInPandasWithState): per-block-key
+    # cluster representatives live in the state store; typo variants join
+    # their rep's cluster, and a kill + restart from the same checkpoint
+    # restores the representative table exactly.
+    from name_matching_spark.streaming.incremental import (
+        read_assignments,
+        start_incremental_assign,
+    )
+
+    src = str(tmp_path / "isrc")
+    table = str(tmp_path / "itable")
+    ckpt = str(tmp_path / "ickpt")
+
+    _write_docs(spark, src, [
+        ("d1", [_span("MERKAVDI ENERGY INC")]),
+        ("d2", [_span("ZELBONKA OIL CO")]),
+    ])
+    q = start_incremental_assign(spark, src, table, ckpt)
+    q.awaitTermination(120)
+
+    # second wave AFTER the first query terminated: a typo variant and an
+    # unrelated new name — state must be restored, not rebuilt
+    _write_docs(spark, src, [
+        ("d3", [_span("MERKAVDI ENERGY LLC")]),   # same cluster (same clean)
+        ("d4", [_span("MERKAVDO OPERATING")]),    # typo of MERKAVDI → same rep
+        ("d5", [_span("WEMFAZKA PETROLEUM")]),    # brand new
+    ])
+    q2 = start_incremental_assign(spark, src, table, ckpt)
+    q2.awaitTermination(120)
+
+    rows = {r["name"]: r for r in read_assignments(spark, table).collect()}
+    assert rows["MERKAVDI"]["is_new_cluster"]
+    assert rows["ZELBONKA"]["is_new_cluster"]
+    # the typo'd name joined the EXISTING representative across the restart
+    assert rows["MERKAVDO"]["cluster_rep"] == "MERKAVDI"
+    assert not rows["MERKAVDO"]["is_new_cluster"]
+    assert 0 < rows["MERKAVDO"]["jaro_distance"] <= 0.15
+    assert rows["WEMFAZKA"]["is_new_cluster"]
