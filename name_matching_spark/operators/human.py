@@ -124,6 +124,12 @@ def match_first_name(names: DataFrame, name_col: str = "name") -> DataFrame:
         "check_initials",
         (F.size(F.split("first_name", " ")) > 1) | (F.length("first_name") < 4),
     ).withColumn("_id", F.xxhash64(name_col))
+    # both sides of the last-name self-join read `humans`; persist so the
+    # extract chain (dict joins + window) is computed once and cached, not
+    # re-planned per side (see PLANS.md, same defect class as the pair
+    # index). persist (not an eager checkpoint) keeps the stage pipeline
+    # unblocked — an eager cut here measured ~5s slower at sf0.1.
+    humans = humans.persist()
 
     a = humans.select(
         F.col("last_name"),
