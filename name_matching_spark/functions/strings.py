@@ -18,31 +18,78 @@ Semantics parity targets:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
+
+# Per-batch shared-encoding cache (see shared_encoding): when several
+# kernels score the same string columns (score_pairs runs 4 specs per
+# batch), the str-normalization and codepoint-matrix encodes are ~20% of
+# total kernel time and identical across kernels. Keys are (data pointer,
+# length, tag): numpy slices of the same base array at the same offset
+# share a pointer, so chunked kernels hit the cache across kernel types.
+# The cache only lives inside a `with shared_encoding()` scope — pointers
+# must not outlive the arrays they describe.
+_ENC_CACHE: dict | None = None
+
+
+@contextmanager
+def shared_encoding():
+    global _ENC_CACHE
+    prev = _ENC_CACHE
+    _ENC_CACHE = {}
+    try:
+        yield
+    finally:
+        _ENC_CACHE = prev
+
+
+def _cache_key(arr, tag):
+    if _ENC_CACHE is None:
+        return None
+    try:
+        ptr = arr.__array_interface__["data"][0]
+    except (AttributeError, TypeError, KeyError):
+        return None
+    return (ptr, len(arr), tag)
 
 
 def _encode(strings: np.ndarray, pad: int) -> tuple[np.ndarray, np.ndarray]:
     """Encode an object array of strings into a (B, Lmax) int32 codepoint
     matrix padded with ``pad``; returns (matrix, lengths)."""
+    key = _cache_key(strings, pad)
+    if key is not None and key in _ENC_CACHE:
+        return _ENC_CACHE[key]
     n = len(strings)
     lengths = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
     lmax = int(lengths.max()) if n else 0
     if lmax == 0:
-        return np.full((n, 1), pad, dtype=np.int32), lengths
+        res = np.full((n, 1), pad, dtype=np.int32), lengths
+        if key is not None:
+            _ENC_CACHE[key] = res
+        return res
     mat = np.full((n, lmax), pad, dtype=np.int32)
     # bulk decode: join with \0 and view as codepoints would lose alignment;
     # per-string frombuffer on UTF-32 is allocation-light and C-speed.
     for i, s in enumerate(strings):
         if s:
             mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-    return mat, lengths
+    res = mat, lengths
+    if key is not None:
+        _ENC_CACHE[key] = res
+    return res
 
 
 def _as_str_array(xs) -> np.ndarray:
     arr = np.asarray(xs, dtype=object)
+    key = _cache_key(arr, "str")
+    if key is not None and key in _ENC_CACHE:
+        return _ENC_CACHE[key]
     out = np.empty(len(arr), dtype=object)
     for i, v in enumerate(arr):
         out[i] = "" if v is None or (isinstance(v, float) and np.isnan(v)) else str(v)
+    if key is not None:
+        _ENC_CACHE[key] = out
     return out
 
 

@@ -54,8 +54,15 @@ def score_pairs(
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for out, kernel, ca, cb in local_specs:
-                pdf[out] = _KERNELS[kernel](pdf[ca].to_numpy(), pdf[cb].to_numpy())
+            # one ndarray per distinct input column, scored inside a
+            # shared-encoding scope: the four kernels re-use each other's
+            # str-normalization + codepoint encodes (~20% of kernel time
+            # measured at 10k-row batches)
+            cols = {c for _, _, ca, cb in local_specs for c in (ca, cb)}
+            arrs = {c: pdf[c].to_numpy() for c in cols}
+            with S.shared_encoding():
+                for out, kernel, ca, cb in local_specs:
+                    pdf[out] = _KERNELS[kernel](arrs[ca], arrs[cb])
             yield pdf
 
     return df.mapInPandas(_score, schema=out_schema)
