@@ -50,6 +50,13 @@ class F1Result:
     tp: int
     fp: int
     fn: int
+    # surface-restricted true positives for the RECALL side: when a surface
+    # restriction is in play, recall must count tp and fn against the SAME
+    # truth population (surface-restricted truth) — counting tp against the
+    # full truth set while fn is surface-restricted would let transitively
+    # recovered out-of-surface pairs inflate recall past 1-of-any-fixed-set
+    # (ADVICE r2). None when no surface was given (tp is the recall tp then).
+    tp_recall: int | None = None
     # the same counts with NO surface restriction anywhere (None when no
     # surface was given — the two metrics coincide then)
     unrestricted: "F1Result | None" = None
@@ -60,7 +67,8 @@ class F1Result:
 
     @property
     def recall(self) -> float:
-        return self.tp / (self.tp + self.fn) if self.tp + self.fn else 1.0
+        tp = self.tp if self.tp_recall is None else self.tp_recall
+        return tp / (tp + self.fn) if tp + self.fn else 1.0
 
     @property
     def f1(self) -> float:
@@ -92,7 +100,8 @@ def pairwise_f1(
     surface = blocked.select("name", "match")
     t_surf = t_full.join(surface, ["name", "match"], "left_semi")
     fn = t_surf.join(p, ["name", "match"], "left_anti").count()
+    tp_surf = p.join(t_surf, ["name", "match"], "left_semi").count()
     return F1Result(
-        tp=tp, fp=fp, fn=fn,
+        tp=tp, fp=fp, fn=fn, tp_recall=tp_surf,
         unrestricted=F1Result(tp=tp, fp=fp, fn=fn_full),
     )

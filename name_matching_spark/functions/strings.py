@@ -28,8 +28,10 @@ import numpy as np
 # total kernel time and identical across kernels. Keys are (data pointer,
 # length, tag): numpy slices of the same base array at the same offset
 # share a pointer, so chunked kernels hit the cache across kernel types.
-# The cache only lives inside a `with shared_encoding()` scope — pointers
-# must not outlive the arrays they describe.
+# Each cache value retains a reference to the keyed input array: a pointer
+# key alone would allow a freed array's address to be reused by a new
+# same-sized allocation inside the scope, silently serving a stale encode
+# (ADVICE r2). The cache only lives inside a `with shared_encoding()` scope.
 _ENC_CACHE: dict | None = None
 
 
@@ -54,19 +56,33 @@ def _cache_key(arr, tag):
     return (ptr, len(arr), tag)
 
 
+def _cache_get(key):
+    if key is None:
+        return None
+    hit = _ENC_CACHE.get(key)
+    return None if hit is None else hit[1]
+
+
+def _cache_put(key, arr, res):
+    # keep `arr` alive for the cache's lifetime so its address can't be
+    # recycled by a same-sized allocation while the key still maps to it
+    if key is not None:
+        _ENC_CACHE[key] = (arr, res)
+
+
 def _encode(strings: np.ndarray, pad: int) -> tuple[np.ndarray, np.ndarray]:
     """Encode an object array of strings into a (B, Lmax) int32 codepoint
     matrix padded with ``pad``; returns (matrix, lengths)."""
     key = _cache_key(strings, pad)
-    if key is not None and key in _ENC_CACHE:
-        return _ENC_CACHE[key]
+    cached = _cache_get(key)
+    if cached is not None:
+        return cached
     n = len(strings)
     lengths = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
     lmax = int(lengths.max()) if n else 0
     if lmax == 0:
         res = np.full((n, 1), pad, dtype=np.int32), lengths
-        if key is not None:
-            _ENC_CACHE[key] = res
+        _cache_put(key, strings, res)
         return res
     mat = np.full((n, lmax), pad, dtype=np.int32)
     # bulk decode: join with \0 and view as codepoints would lose alignment;
@@ -75,21 +91,20 @@ def _encode(strings: np.ndarray, pad: int) -> tuple[np.ndarray, np.ndarray]:
         if s:
             mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
     res = mat, lengths
-    if key is not None:
-        _ENC_CACHE[key] = res
+    _cache_put(key, strings, res)
     return res
 
 
 def _as_str_array(xs) -> np.ndarray:
     arr = np.asarray(xs, dtype=object)
     key = _cache_key(arr, "str")
-    if key is not None and key in _ENC_CACHE:
-        return _ENC_CACHE[key]
+    cached = _cache_get(key)
+    if cached is not None:
+        return cached
     out = np.empty(len(arr), dtype=object)
     for i, v in enumerate(arr):
         out[i] = "" if v is None or (isinstance(v, float) and np.isnan(v)) else str(v)
-    if key is not None:
-        _ENC_CACHE[key] = out
+    _cache_put(key, arr, out)
     return out
 
 

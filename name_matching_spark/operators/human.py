@@ -109,27 +109,35 @@ def extract_name(names: DataFrame, name_col: str = "clean_name") -> DataFrame:
     return names.join(best, name_col, "left")
 
 
-def match_first_name(names: DataFrame, name_col: str = "name") -> DataFrame:
+def match_first_name(
+    names: DataFrame, name_col: str = "name", return_parts: bool = False
+):
     """Human-name matcher: (name, match, human_jw_distance,
     human_cosine_similarity, initials_match) over last-name-blocked pairs.
 
     ``names`` needs a distinct ``name_col``. Original (raw) names are
     carried through; scoring happens on extracted first names.
+
+    With ``return_parts`` returns ``(scored, parts)`` where ``parts`` is the
+    full (uncompany-filtered) name-part table — (name, clean_name, company,
+    last_name, first_name, initials). The pre-screen's cross-surname rule
+    consumes it so the dictionary parse over the name universe runs ONCE per
+    pipeline, not once per stage (VERDICT r2 item 1).
     """
     df = names.select(name_col).distinct()
     df = with_clean_name(df, name_col, "clean_name", drop_common=False, human=True)
-    split = extract_name(df, "clean_name")
+    # the extract chain (dict joins + window) feeds both sides of the
+    # last-name self-join AND, via return_parts, the pre-screen's
+    # cross-surname rule — persist it once so it is computed once and
+    # cached, not re-planned per consumer (see PLANS.md, same defect class
+    # as the pair index). persist (not an eager checkpoint) keeps the stage
+    # pipeline unblocked — an eager cut here measured ~5s slower at sf0.1.
+    split = extract_name(df, "clean_name").persist()
     humans = split.where(~F.col("company") & F.col("last_name").isNotNull())
     humans = humans.withColumn(
         "check_initials",
         (F.size(F.split("first_name", " ")) > 1) | (F.length("first_name") < 4),
     ).withColumn("_id", F.xxhash64(name_col))
-    # both sides of the last-name self-join read `humans`; persist so the
-    # extract chain (dict joins + window) is computed once and cached, not
-    # re-planned per side (see PLANS.md, same defect class as the pair
-    # index). persist (not an eager checkpoint) keeps the stage pipeline
-    # unblocked — an eager cut here measured ~5s slower at sf0.1.
-    humans = humans.persist()
 
     a = humans.select(
         F.col("last_name"),
@@ -174,10 +182,13 @@ def match_first_name(names: DataFrame, name_col: str = "name") -> DataFrame:
             F.lit(None),
         ).otherwise(F.col("human_jw_distance")),
     )
-    return scored.select(
+    out = scored.select(
         F.col("name_a").alias("name"),
         F.col("name_b").alias("match"),
         "human_jw_distance",
         (1.0 - F.col("_cos_dist")).alias("human_cosine_similarity"),
         "initials_match",
     )
+    if return_parts:
+        return out, split
+    return out

@@ -133,7 +133,13 @@ def _parse_ppm(b: bytes) -> tuple[int, int, bytes] | None:
 
 
 def _parse_bmp(b: bytes) -> tuple[int, int, bytes] | None:
-    """BMP header parse (BITMAPINFOHEADER) → (width, height, pixel bytes)."""
+    """BMP header parse (BITMAPINFOHEADER) → (width, height, pixel bytes).
+
+    Only uncompressed 24/32-bpp bitmaps are decodable here: RLE-compressed or
+    palette (1/4/8-bpp) payloads would yield a garbage pixel stream, so they
+    return None → the documented NULL-for-undecodable path (ADVICE r2).
+    Per-row padding (rows are 4-byte aligned) is stripped so the histogram
+    sees pixel bytes only."""
     import struct
 
     if not b.startswith(b"BM") or len(b) < 54:
@@ -141,9 +147,19 @@ def _parse_bmp(b: bytes) -> tuple[int, int, bytes] | None:
     pixel_off = struct.unpack_from("<I", b, 10)[0]
     w = struct.unpack_from("<i", b, 18)[0]
     h = abs(struct.unpack_from("<i", b, 22)[0])  # negative = top-down rows
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
     if w <= 0 or h <= 0 or pixel_off > len(b):
         return None
-    return w, h, b[pixel_off:]
+    if bpp not in (24, 32) or compression != 0:
+        return None
+    bytes_per_px = bpp // 8
+    stride = (w * bytes_per_px + 3) & ~3  # rows padded to 4-byte boundaries
+    raster = b[pixel_off : pixel_off + stride * h]
+    if stride == w * bytes_per_px:
+        return w, h, raster
+    rows = [raster[r * stride : r * stride + w * bytes_per_px] for r in range(h)]
+    return w, h, b"".join(rows)
 
 
 def _byte_hist(pixels: bytes, dim: int) -> list[float]:

@@ -270,7 +270,7 @@ def human_screen_rule(
     )
 
 
-def cross_surname_screen(df: DataFrame) -> DataFrame:
+def cross_surname_screen(df: DataFrame, name_parts: DataFrame | None = None) -> DataFrame:
     """Rule 1b (extension; automated stand-in for the reference's human
     review): two names that BOTH parse as human names with clearly
     DIFFERENT last names are not the same person — a reviewer rejects
@@ -290,23 +290,32 @@ def cross_surname_screen(df: DataFrame) -> DataFrame:
     pairwise precision to 0.01. A Levenshtein > 2 guard keeps typo'd
     surname aliases ('JOHNSON'/'JOHNSTON') out of the auto-reject.
 
-    The name-part table is recomputed from the pair table's distinct names —
-    one dictionary-join pass over the name universe, broadcast-sized.
+    ``name_parts`` (name, clean_name, company, last_name — the human
+    channel's persisted parse, match_first_name(return_parts=True)) lets the
+    dictionary parse over the name universe run once per pipeline; when
+    None (standalone use) it is recomputed from the pair table's distinct
+    names — one dictionary-join pass, identical result.
     """
     from ..constants import FIRST_NAMES, NICKNAMES
-    from ..functions.normalize import with_clean_name
-    from .human import extract_name
 
     first_tokens = sorted(
         set(FIRST_NAMES) | {s for s, _ in NICKNAMES} | {n for _, n in NICKNAMES}
     )
-    names = (
-        df.select(F.col("name").alias("nm"))
-        .unionByName(df.select(F.col("match").alias("nm")))
-        .distinct()
-    )
-    names = with_clean_name(names, "nm", "clean_name", drop_common=False, human=True)
-    parts = extract_name(names, "clean_name")
+    if name_parts is not None:
+        parts = name_parts.select(
+            F.col("name").alias("nm"), "clean_name", "company", "last_name"
+        )
+    else:
+        from ..functions.normalize import with_clean_name
+        from .human import extract_name
+
+        names = (
+            df.select(F.col("name").alias("nm"))
+            .unionByName(df.select(F.col("match").alias("nm")))
+            .distinct()
+        )
+        names = with_clean_name(names, "nm", "clean_name", drop_common=False, human=True)
+        parts = extract_name(names, "clean_name")
     toks = F.split(F.col("clean_name"), " ")
     # Screen-surname = the first ≥3-char token that is NOT a known first
     # name. This deliberately ignores the dictionary parse's last_name for
@@ -420,6 +429,7 @@ def pre_screen(
     seed: int = 42,
     auto_accept: bool = False,
     exact_percentiles: bool = True,
+    name_parts: DataFrame | None = None,
 ) -> DataFrame:
     df = name_matches
 
@@ -427,7 +437,7 @@ def pre_screen(
     df = human_screen_rule(df, human_jw_threshold, human_cos_threshold)
 
     # 1b. cross-surname screen (extension; see cross_surname_screen docstring)
-    df = cross_surname_screen(df)
+    df = cross_surname_screen(df, name_parts=name_parts)
 
     # 2. address verification (:166-169)
     df = address_verify_rule(df, address_matches)

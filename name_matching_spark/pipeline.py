@@ -47,6 +47,8 @@ from .operators.tfidf import paired_cosine, tfidf_cosine_pairs, token_weights
 class MatchNamesResult:
     master: DataFrame          # the candidate-pair table with all scores
     dropped_blocks: DataFrame  # hot block keys excluded from pair joins (lineage)
+    name_parts: DataFrame | None = None  # human-channel parse (persisted),
+    # reused by pre_screen's cross-surname rule instead of re-parsing
 
 
 def prepare_names(names: DataFrame, name_col: str = "name") -> DataFrame:
@@ -108,7 +110,7 @@ def match_names(
     prepped = materialize(prepare_names(names), eager=True)
 
     # --- channel 1: human first-name distance (match_names.R:599-601)
-    human = match_first_name(prepped.select("name"))
+    human, name_parts = match_first_name(prepped.select("name"), return_parts=True)
     lo, hi = canonical_pair(F.col("name"), F.col("match"))
     human = (
         human.select(
@@ -220,7 +222,9 @@ def match_names(
             "channel", F.lit("jaro")
         )
     )
-    return MatchNamesResult(master=master, dropped_blocks=dropped)
+    return MatchNamesResult(
+        master=master, dropped_blocks=dropped, name_parts=name_parts
+    )
 
 
 @dataclass
@@ -274,6 +278,7 @@ def resolve_entities(
         num_trees=num_trees,
         auto_accept=auto_accept,
         exact_percentiles=exact_pct,
+        name_parts=mm.name_parts,
     )
     screened = materialize(screened, eager=False)
     clusters = name_clusters(screened)
