@@ -66,10 +66,15 @@ def emit(args) -> int:
 
 def ingest(args) -> int:
     """Merge a reviewed CSV (name, match, keep) into the labels store with
-    never-overwrite semantics; rows whose keep is still empty are ignored."""
+    never-overwrite semantics; rows whose keep is still empty are ignored.
+
+    The store is a ``merge_into`` generation table: each ingest commits a
+    new snapshot by atomic rename, so a crash mid-merge leaves the previous
+    labels intact (ADVICE r2 — the old overwrite-in-place could lose the
+    whole store)."""
     from pyspark.sql import functions as F
 
-    from name_matching_spark.operators.prescreen import merge_labels
+    from name_matching_spark.io import merge_into, read_merged
 
     spark = _spark()
     new = (
@@ -79,18 +84,14 @@ def ingest(args) -> int:
         )
         .where(F.col("keep").isNotNull())
     )
-    store = os.path.join(args.labels_store, "labels.parquet")
-    if os.path.exists(store):
-        existing = spark.read.parquet(store)
-        merged = merge_labels(existing, new)
-    else:
-        merged = new
-    tmp = os.path.join(args.labels_store, "_labels_tmp")
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(store)
-    n = spark.read.parquet(store).count()
-    print(json.dumps({"labels_total": n, "ingested": new.count(), "store": store}))
+    store = os.path.join(args.labels_store, "labels")
+    gen = merge_into(
+        spark, store, new, keys=["name", "match"], when_matched="keep_existing"
+    )
+    n = read_merged(spark, store).count()
+    print(json.dumps(
+        {"labels_total": n, "ingested": new.count(), "store": store, "gen": gen}
+    ))
     return 0
 
 

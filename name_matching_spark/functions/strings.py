@@ -95,6 +95,60 @@ def _encode(strings: np.ndarray, pad: int) -> tuple[np.ndarray, np.ndarray]:
     return res
 
 
+class _NotU8(Exception):
+    """String batch not encodable as uint8 bytes (non-latin-1 or ≥ 0xFE)."""
+
+
+# uint8 pad bytes for the two sides; real chars are required < 0xFE so the
+# pads can never equal a real codepoint on either side
+_U8_PAD = {-1: 255, -2: 254}
+
+
+def _encode_u8(strings: np.ndarray, pad: int):
+    """uint8 fast-path encode: (B, Lmax) byte matrix via latin-1, or None
+    when any string carries non-latin-1 chars or bytes ≥ 0xFE (reserved for
+    pads). Normalized names are uppercase ASCII, so this is the hot path —
+    a byte matrix quarters the Jaro kernel's memory traffic vs int32
+    codepoints, which is the measured DRAM-bandwidth wall of the
+    local[8]→local[32] scaling run (VERDICT r2 item 3)."""
+    key = _cache_key(strings, ("u8", pad))
+    cached = _cache_get(key)
+    if cached is not None:
+        return None if cached == "fail" else cached
+    n = len(strings)
+    lengths = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    lmax = int(lengths.max()) if n else 0
+    mat = np.full((n, max(lmax, 1)), _U8_PAD[pad], dtype=np.uint8)
+    try:
+        for i, s in enumerate(strings):
+            if s:
+                eb = s.encode("latin-1")
+                if b"\xfe" in eb or b"\xff" in eb:
+                    raise _NotU8
+                mat[i, : len(s)] = np.frombuffer(eb, dtype=np.uint8)
+    except (UnicodeEncodeError, _NotU8):
+        _cache_put(key, strings, "fail")
+        return None
+    res = (mat, lengths)
+    _cache_put(key, strings, res)
+    return res
+
+
+def _encode_pair(a: np.ndarray, b: np.ndarray):
+    """Encode both sides of a pair batch jointly: uint8 when BOTH sides are
+    byte-clean, else int32 for both. The mode must be joint — with mixed
+    dtypes one side's pad byte (0xFF) could equal the other side's real
+    codepoint 255 ('ÿ') and fabricate a character match."""
+    ra = _encode_u8(a, -1)
+    if ra is not None:
+        rb = _encode_u8(b, -2)
+        if rb is not None:
+            return (*ra, *rb)
+    A, la = _encode(a, -1)
+    B, lb = _encode(b, -2)
+    return A, la, B, lb
+
+
 def _as_str_array(xs) -> np.ndarray:
     arr = np.asarray(xs, dtype=object)
     key = _cache_key(arr, "str")
@@ -123,8 +177,7 @@ def _jaro_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     n = len(a)
     if n == 0:
         return np.empty(0, dtype=np.float64)
-    A, la = _encode(a, pad=-1)
-    B, lb = _encode(b, pad=-2)
+    A, la, B, lb = _encode_pair(a, b)
     La, Lb = A.shape[1], B.shape[1]
 
     sim = np.zeros(n, dtype=np.float64)
@@ -140,7 +193,8 @@ def _jaro_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     ii = np.arange(La)[:, None]
     jj = np.arange(Lb)[None, :]
     window_ok = np.abs(ii - jj)[None, :, :] <= win[:, None, None]
-    cand = eq & window_ok
+    # in-place AND: one fewer (n, La, Lb) allocation per chunk
+    cand = np.logical_and(eq, window_ok, out=eq)
 
     used_b = np.zeros((n, Lb), dtype=bool)
     match_a = np.zeros((n, La), dtype=bool)
@@ -196,8 +250,7 @@ def jaro_winkler_similarity(a, b, p: float = 0.1, max_prefix: int = 4) -> np.nda
     sim = jaro_similarity(a_arr, b_arr)
     # common-prefix length up to max_prefix: encoded codepoint matrices +
     # cumulative AND, fully vectorized across the batch (no per-row Python)
-    A, la = _encode(a_arr, pad=-1)
-    B, lb = _encode(b_arr, pad=-2)
+    A, la, B, lb = _encode_pair(a_arr, b_arr)
     k = min(max_prefix, A.shape[1], B.shape[1])
     if k > 0:
         eq = A[:, :k] == B[:, :k]  # pads differ → False past either length
@@ -248,8 +301,7 @@ def _qgram_cosine_chunk(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
     n = len(a)
     if n == 0:
         return np.empty(0, dtype=np.float64)
-    A, la = _encode(a, pad=-1)
-    B, lb = _encode(b, pad=-2)
+    A, la, B, lb = _encode_pair(a, b)
     ca = _qgram_codes(A, la, q)
     cb = _qgram_codes(B, lb, q)
 

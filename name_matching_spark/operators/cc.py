@@ -79,36 +79,62 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["c"]), int(row["h"])
 
 
+# Above this many (distinct) edges the star rounds run on dense int64 ids
+# instead of name strings: the id mapping costs ~4 fixed jobs (range
+# repartition + offset collect + edge relabel + final join-back), which the
+# per-round shuffle savings only repay once the edge set is large. Below it
+# (contract queries, small fixtures) strings are net faster. Env-overridable
+# so tests can force either path on small graphs.
+CC_INT_ID_THRESHOLD = 1_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "name",
     dst: str = "match",
     max_iter: int = 30,
+    int_ids: bool | None = None,
 ) -> DataFrame:
     """(name, component) for every node in ``edges``; component = min(name)
-    of the connected component (string ordering)."""
-    e_raw = (
+    of the connected component (string ordering).
+
+    ``int_ids``: None (default) auto-selects by edge count — the count is
+    free, the first convergence checksum computes it anyway."""
+    import os
+
+    e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    # names → rank-ordered dense int64 ids (order-isomorphic: min(id) picks
-    # the same node as min(name)); the star rounds then shuffle 8-byte ids
-    nodes = e_raw.select(F.col("u").alias("_n")).unionByName(
-        e_raw.select(F.col("v").alias("_n"))
-    )
-    # mapping feeds two joins here and two at the join-back — pin it once
-    mapping = materialize(dense_ids(nodes, "_n", "_nid"), eager=True)
-    e = (
-        e_raw.join(mapping.withColumnsRenamed({"_n": "u", "_nid": "_uid"}), "u")
-        .join(mapping.withColumnsRenamed({"_n": "v", "_nid": "_vid"}), "v")
-        .select(F.col("_uid").alias("u"), F.col("_vid").alias("v"))
-    )
     # eager checkpoint per round: measured faster than lazy + checksum
     # (lazy localCheckpoint recomputes under the aggregate-only action)
     e = materialize(e, eager=True)
     prev = _checksum(e)
+    if int_ids is None:
+        forced = os.environ.get("SPARK_GRAFT_CC_INT_IDS")
+        if forced is not None:
+            int_ids = forced == "1"
+        else:
+            int_ids = prev[0] >= CC_INT_ID_THRESHOLD
+    mapping = None
+    if int_ids:
+        # names → rank-ordered dense int64 ids (order-isomorphic: min(id)
+        # picks the same node as min(name)); the star rounds then shuffle
+        # 8-byte ids instead of full name strings
+        nodes = e.select(F.col("u").alias("_n")).unionByName(
+            e.select(F.col("v").alias("_n"))
+        )
+        # mapping feeds two joins here and two at the join-back — pin it once
+        mapping = materialize(dense_ids(nodes, "_n", "_nid"), eager=True)
+        e = (
+            e.join(mapping.withColumnsRenamed({"_n": "u", "_nid": "_uid"}), "u")
+            .join(mapping.withColumnsRenamed({"_n": "v", "_nid": "_vid"}), "v")
+            .select(F.col("_uid").alias("u"), F.col("_vid").alias("v"))
+        )
+        e = materialize(e, eager=True)
+        prev = _checksum(e)
     for _ in range(max_iter):
         e = materialize(_small_star(_large_star(e)), eager=True)
         cur = _checksum(e)
@@ -124,6 +150,8 @@ def connected_components(
         "_c", F.col("_m")
     )
     ids = members.unionByName(roots).distinct()
+    if mapping is None:
+        return ids.select(F.col("_m").alias("name"), F.col("_c").alias("component"))
     # single join-back from ids to names (two hash joins on int keys)
     return (
         ids.join(mapping.withColumnsRenamed({"_nid": "_m"}), "_m")

@@ -128,11 +128,14 @@ def match_first_name(
     df = with_clean_name(df, name_col, "clean_name", drop_common=False, human=True)
     # the extract chain (dict joins + window) feeds both sides of the
     # last-name self-join AND, via return_parts, the pre-screen's
-    # cross-surname rule — persist it once so it is computed once and
-    # cached, not re-planned per consumer (see PLANS.md, same defect class
-    # as the pair index). persist (not an eager checkpoint) keeps the stage
-    # pipeline unblocked — an eager cut here measured ~5s slower at sf0.1.
-    split = extract_name(df, "clean_name").persist()
+    # cross-surname rule — pin it once so it is computed once and cached,
+    # not recomputed per consumer (see PLANS.md, same defect class as the
+    # pair index). persist_now (persist + count trigger), NOT an eager
+    # checkpoint: the block copy measured ~5s slower at sf0.1, while a
+    # lazy persist lets the self-join's two branches race the cold cache.
+    from ..session import persist_now
+
+    split = persist_now(extract_name(df, "clean_name"))
     humans = split.where(~F.col("company") & F.col("last_name").isNotNull())
     humans = humans.withColumn(
         "check_initials",

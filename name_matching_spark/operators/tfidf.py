@@ -23,8 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..session import materialize
-
 
 def token_weights(
     names: DataFrame, bag_col: str, name_col: str = "name"
@@ -54,16 +52,26 @@ def tfidf_cosine_pairs(
     name_col: str = "name",
     threshold: float = 0.4,
     max_df: int | None = None,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical pairs with cosine_similarity ≥ threshold.
 
     Output: (name, match, cosine_similarity). Equivalent to the reference's
     match_names_cosine (match_names.R:528-559) without the dense matrix.
+
+    ``weights`` lets a caller share one persisted ``token_weights`` table
+    between this join and the backfill pass (match_names computes both over
+    the same corpus — one weights table, four join branches).
     """
     # weights feed both sides of the pair self-join (and norms are an agg
-    # over the same rows) — materialize once instead of re-deriving the
-    # tokenize/normalize lineage per join branch
-    w = materialize(token_weights(names, bag_col, name_col), eager=True)
+    # over the same rows) — pin once instead of re-deriving the tokenize/
+    # normalize lineage per join branch (persist_now: both branches must
+    # see a WARM cache, else they race it and each recomputes the lineage)
+    if weights is None:
+        from ..session import persist_now
+
+        weights = persist_now(token_weights(names, bag_col, name_col))
+    w = weights
     if max_df is not None:
         w_join = w.where(F.col("df") <= max_df)
     else:

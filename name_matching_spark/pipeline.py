@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .constants import COSINE_THRESHOLD, JARO_THRESHOLD
-from .session import materialize
+from .session import materialize, persist_now
 from .functions.normalize import canonical_pair, with_clean_name, with_word_bag
 from .operators.blocking import (
     first_token_key,
@@ -122,10 +122,18 @@ def match_names(
     )
 
     # --- channel 2: tf-idf cosine (match_names.R:608-636)
+    # ONE tf-idf weights table serves both the cosine channel and the
+    # backfill's paired_cosine (identical corpus — round 2 computed and
+    # checkpointed it twice); persist covers all four join branches without
+    # a barrier job.
+    weights = persist_now(
+        token_weights(prepped.where(F.col("clean_name") != ""), "bag_clean")
+    )
     cosine = tfidf_cosine_pairs(
         prepped.where(F.col("clean_name") != ""),
         "bag_clean",
         threshold=cosine_threshold,
+        weights=weights,
     )
 
     # --- channel 3: shared word (match_names.R:643-654)
@@ -187,11 +195,7 @@ def match_names(
     # cosine: paired tf-idf over the global corpus weights (deviation from
     # the reference, which refits idf on just the missing-pair corpus at
     # :738-783 — one consistent corpus is both cheaper and more principled).
-    # Weights join both sides of the pair → persist once.
-    weights = materialize(
-        token_weights(prepped.where(F.col("clean_name") != ""), "bag_clean"),
-        eager=True,
-    )
+    # `weights` is the same persisted table the cosine channel used.
     missing_cos = master.where(F.col("cosine_similarity").isNull()).select("name", "match")
     backfilled_cos = paired_cosine(missing_cos, weights, "name", "match", "_cos_bf")
     master = master.join(backfilled_cos, ["name", "match"], "left").withColumn(

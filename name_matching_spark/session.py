@@ -92,6 +92,20 @@ def set_reliable_checkpoint_dir(path: str | None) -> None:
     _RELIABLE_DIR = path
 
 
+def persist_now(df):
+    """persist() + a count() trigger: pins a DataFrame that feeds MULTIPLE
+    branches of a downstream join before the consuming job runs. persist()
+    alone is lazy — if the first action triggers several branches at once,
+    each branch races the cold cache and recomputes the full lineage
+    (the round-1 per-branch re-evaluation defect). The count is one cheap
+    job over the cached data; unlike an eager checkpoint there is no block
+    copy, and unlike localCheckpoint the cached plan keeps its statistics
+    for join planning."""
+    df = df.persist()
+    df.count()
+    return df
+
+
 def materialize(df, eager: bool = True):
     """Cut lineage at a pipeline materialization point (iterative CC rounds,
     the match-master table, tf-idf weights). Uses the policy set by

@@ -50,6 +50,12 @@ ASSIGN_SCHEMA = StructType(
         StructField("cluster_rep", StringType()),
         StructField("jaro_distance", DoubleType()),
         StructField("is_new_cluster", BooleanType()),
+        # True = the key's representative set was at max_reps_per_key and no
+        # existing rep matched: the name is EMITTED (never silently lost)
+        # with a NULL rep, to be picked up by the periodic batch re-resolve.
+        # Bounds state-store size AND per-batch scoring cost on hot phonetic
+        # keys that would otherwise accumulate reps forever (VERDICT r2).
+        StructField("overflow", BooleanType()),
     ]
 )
 
@@ -58,7 +64,7 @@ _STATE_SCHEMA = StructType([StructField("reps", StringType())])
 _REP_SEP = "\x1f"  # unit separator — cannot occur in cleaned names
 
 
-def _assign_fn(jaro_threshold: float):
+def _assign_fn(jaro_threshold: float, max_reps_per_key: int):
     def assign(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -89,9 +95,24 @@ def _assign_fn(jaro_threshold: float):
                             "cluster_rep": reps[best],
                             "jaro_distance": float(d[best]),
                             "is_new_cluster": False,
+                            "overflow": False,
                         }
                     )
                     continue
+            if len(reps) >= max_reps_per_key:
+                # rep set full: route to the logged overflow side-output
+                # instead of growing state without bound on a hot key
+                out_rows.append(
+                    {
+                        "block_key": block_key,
+                        "name": nm,
+                        "cluster_rep": None,
+                        "jaro_distance": None,
+                        "is_new_cluster": False,
+                        "overflow": True,
+                    }
+                )
+                continue
             reps.append(nm)
             out_rows.append(
                 {
@@ -100,6 +121,7 @@ def _assign_fn(jaro_threshold: float):
                     "cluster_rep": nm,
                     "jaro_distance": 0.0,
                     "is_new_cluster": True,
+                    "overflow": False,
                 }
             )
         state.update((_REP_SEP.join(reps),))
@@ -115,10 +137,17 @@ def start_incremental_assign(
     checkpoint_dir: str,
     jaro_threshold: float = 0.15,
     trigger_available_now: bool = True,
+    max_reps_per_key: int = 512,
 ):
     """Stream documents(doc_id, spans) → per-blocking-key incremental
     cluster assignment; appends per-batch assignment partials under
-    ``table_dir``/assignments. Returns the StreamingQuery."""
+    ``table_dir``/assignments. Returns the StreamingQuery.
+
+    ``max_reps_per_key`` bounds state per blocking key: a name that matches
+    no rep on a FULL key is emitted with ``overflow=True`` and a NULL rep
+    (query it via ``read_overflow``) instead of growing the state store —
+    the periodic batch re-resolve reconciles those names. State stays
+    O(min(reps, cap)) and per-batch scoring cost is bounded on hot keys."""
     docs = (
         spark.readStream.schema(SPANS_DDL)
         .option("maxFilesPerTrigger", 8)
@@ -144,7 +173,7 @@ def start_incremental_assign(
         "block_key", "name"
     )
     assigned = names.groupBy("block_key").applyInPandasWithState(
-        _assign_fn(jaro_threshold),
+        _assign_fn(jaro_threshold, max_reps_per_key),
         outputStructType=ASSIGN_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
@@ -168,9 +197,9 @@ def start_incremental_assign(
 
 
 def read_assignments(spark: SparkSession, table_dir: str) -> DataFrame:
-    """(block_key, name, cluster_rep, jaro_distance, is_new_cluster) —
-    latest assignment per name across partials (a name can be re-observed;
-    its first assignment wins, matching the state semantics)."""
+    """(block_key, name, cluster_rep, jaro_distance, is_new_cluster,
+    overflow) — latest assignment per name across partials (a name can be
+    re-observed; its first assignment wins, matching the state semantics)."""
     from pyspark.sql import Window as W
 
     partials = spark.read.parquet(os.path.join(table_dir, "assignments"))
@@ -178,5 +207,15 @@ def read_assignments(spark: SparkSession, table_dir: str) -> DataFrame:
     return (
         partials.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select("block_key", "name", "cluster_rep", "jaro_distance", "is_new_cluster")
+        .select(
+            "block_key", "name", "cluster_rep", "jaro_distance",
+            "is_new_cluster", "overflow",
+        )
     )
+
+
+def read_overflow(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Names routed past a full rep set — the batch re-resolve's work list.
+    Nothing is silently dropped: every overflowed name is in the assignment
+    log with ``overflow=True``."""
+    return read_assignments(spark, table_dir).where(F.col("overflow"))

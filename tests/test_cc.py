@@ -114,3 +114,23 @@ def test_dense_ids_dataframe_native(spark):
     got = {r["group_name"]: r["cluster"] for r in dense_ids(df, "group_name").collect()}
     expected = {v: i + 1 for i, v in enumerate(sorted(v for (v,) in vals))}
     assert got == expected
+
+
+def test_cc_int_id_path_matches_string_path(spark):
+    # the dense-int-id fast path (auto above CC_INT_ID_THRESHOLD edges) must
+    # produce byte-identical components to the string path on any graph
+    rng = random.Random(11)
+    nodes = [f"N{i:03d}" for i in range(100)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    df = spark.createDataFrame(edges, ["name", "match"])
+    got_s = sorted(
+        (r["name"], r["component"])
+        for r in connected_components(df, int_ids=False).collect()
+    )
+    got_i = sorted(
+        (r["name"], r["component"])
+        for r in connected_components(df, int_ids=True).collect()
+    )
+    assert got_s == got_i
+    oracle = _union_find_components([e for e in edges if e[0] != e[1]])
+    assert dict(got_i) == oracle

@@ -50,12 +50,19 @@ def test_review_loop(spark, tmp_path, capsys):
         "name string, match string, keep string",
     ).coalesce(1).write.option("header", True).csv(reviewed2)
     job.main(["ingest", "--reviewed", reviewed2, "--labels-store", store])
+    from name_matching_spark.io import read_merged
+
     labels = {
         (r["name"], r["match"]): r["keep"]
-        for r in spark.read.parquet(os.path.join(store, "labels.parquet")).collect()
+        for r in read_merged(spark, os.path.join(store, "labels")).collect()
     }
     assert labels[("A CO", "A CORP")] == 1.0  # first decision wins
     assert labels[("B LLC", "B LTD")] == 0.0  # new pair accepted
+    # crash-safety shape: the committed store is a gen=<n> snapshot; a
+    # leftover scratch dir from a crashed merge must not shadow it
+    gens = sorted(os.listdir(os.path.join(store, "labels")))
+    assert any(g.startswith("gen=") for g in gens)
+    assert not any(g.startswith("_merging") for g in gens)
 
     # summary: modeled stage gates on importance_dist == 0
     capsys.readouterr()

@@ -163,3 +163,52 @@ def test_incremental_assign_stateful(spark, tmp_path):
     assert not rows["MERKAVDO"]["is_new_cluster"]
     assert 0 < rows["MERKAVDO"]["jaro_distance"] <= 0.15
     assert rows["WEMFAZKA"]["is_new_cluster"]
+
+
+def test_incremental_assign_state_cap(spark, tmp_path):
+    # VERDICT r2 item 4: per-key state is bounded. With max_reps_per_key=2, a
+    # hot blocking key keeps at most 2 representatives; further non-matching
+    # names are EMITTED with overflow=True (the batch re-resolve's work
+    # list) — never silently lost — and a restart stays bounded too.
+    from name_matching_spark.streaming.incremental import (
+        read_assignments,
+        read_overflow,
+        start_incremental_assign,
+    )
+
+    src = str(tmp_path / "csrc")
+    table = str(tmp_path / "ctable")
+    ckpt = str(tmp_path / "cckpt")
+
+    names = ["KOTA ENERGY", "KITE OIL", "KYTO GAS", "KETU PETROLEUM",
+             "KATOZ LLC", "KUTEV INC"]
+    _write_docs(spark, src, [(f"d{i}", [_span(nm)]) for i, nm in enumerate(names)])
+    q = start_incremental_assign(spark, src, table, ckpt, max_reps_per_key=2)
+    q.awaitTermination(120)
+
+    rows = read_assignments(spark, table).collect()
+    # nothing silently lost: every cleaned input name surfaces exactly once
+    assert sorted(r["name"] for r in rows) == sorted(nm.split()[0] for nm in names)
+    # bounded state: ≤ 2 new clusters per block key, all others assigned or
+    # overflowed
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["block_key"], []).append(r)
+    for key, rs in per_key.items():
+        assert sum(r["is_new_cluster"] for r in rs) <= 2, key
+    overflowed = {r["name"] for r in read_overflow(spark, table).collect()}
+    assert overflowed, "expected at least one overflow on the hot key"
+    for r in rows:
+        if r["name"] in overflowed:
+            assert r["cluster_rep"] is None and not r["is_new_cluster"]
+
+    # restart from checkpoint: still bounded, overflow still routed
+    _write_docs(spark, src, [("d9", [_span("KIMTU HOLDINGS")])])
+    q2 = start_incremental_assign(spark, src, table, ckpt, max_reps_per_key=2)
+    q2.awaitTermination(120)
+    rows2 = read_assignments(spark, table).collect()
+    per_key2 = {}
+    for r in rows2:
+        per_key2.setdefault(r["block_key"], []).append(r)
+    for key, rs in per_key2.items():
+        assert sum(r["is_new_cluster"] for r in rs) <= 2, key

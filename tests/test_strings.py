@@ -132,3 +132,39 @@ def test_trigram_cosine_identical_zero():
 def test_jaro_distance_is_one_minus_similarity():
     a, b = ["MARTHA"], ["MARHTA"]
     assert np.allclose(jaro_distance(a, b), 1.0 - jaro_similarity(a, b))
+
+
+def test_uint8_and_int32_paths_agree():
+    # the uint8 fast path (latin-1-clean batches) must agree exactly with the
+    # int32 fallback; non-latin-1 or 0xFE/0xFF chars force the fallback for
+    # BOTH sides of the batch (mixed dtypes could alias pads to real chars)
+    from name_matching_spark.functions.strings import _encode_pair
+
+    clean = (["MARTHA", "ACME OIL", "ÉLAN", ""], ["MARHTA", "ACME OIL CO", "ELAN", "X"])
+    dirty = (["MARTHA", "ÿSMITH", "AþB", "日本"], ["MARHTA", "SMITHÿ", "AB", "日本語"])
+    A, la, B, lb = _encode_pair(
+        np.array(clean[0], dtype=object), np.array(clean[1], dtype=object)
+    )
+    assert A.dtype == np.uint8 and B.dtype == np.uint8  # É is latin-1
+    A2, _, B2, _ = _encode_pair(
+        np.array(dirty[0], dtype=object), np.array(dirty[1], dtype=object)
+    )
+    assert A2.dtype == np.int32 and B2.dtype == np.int32
+    # DuckDB oracles only the ASCII rows (it scores UTF-8 *bytes*, we score
+    # codepoints — they diverge on any multi-byte char, by design)
+    con = duckdb.connect()
+    ascii_pairs = [("MARTHA", "MARHTA"), ("ACME OIL", "ACME OIL CO"), ("", "X")]
+    oracle = np.array(
+        [con.execute("SELECT jaro_similarity(?, ?)", [x, y]).fetchone()[0]
+         for x, y in ascii_pairs]
+    )
+    got = jaro_similarity([x for x, _ in ascii_pairs], [y for _, y in ascii_pairs])
+    assert np.allclose(got, oracle, atol=1e-9)
+    # path agreement: the same ASCII pairs, scored in a uint8-clean batch vs
+    # in a batch forced to int32 by one dirty row, must agree exactly
+    forced_a = [x for x, _ in ascii_pairs] + ["日本"]
+    forced_b = [y for _, y in ascii_pairs] + ["日本語"]
+    forced = jaro_similarity(forced_a, forced_b)
+    assert np.array_equal(got, forced[:3])
+    for a, b in (clean, dirty):
+        assert np.allclose(jaro_similarity(b, a), jaro_similarity(a, b))
