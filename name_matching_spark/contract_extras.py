@@ -390,6 +390,67 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: IVF cells → within-cell cosine ≥ τ to
+    a lower id ⇒ duplicate of the closest predecessor (keep-first)."""
+    from .operators.dedup import semantic_dedup
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return semantic_dedup(emb, threshold=0.35, n_centroids=16).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("cell").cast("bigint").alias("cell"),
+        "keep",
+        F.col("dup_of").cast("double").alias("dup_of"),
+        "cosine",
+    )
+
+
+def o_semantic_dedup() -> str:
+    unit_dot = _DUCK_DOT.format(d=_DIM, a="v", b="v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+unit AS (
+  SELECT vec_id AS id,
+         list_transform(v, x -> x / sqrt({unit_dot})) AS u
+  FROM e WHERE sqrt({unit_dot}) > 0
+),
+step AS (SELECT greatest(count(*) // 16, 1) AS s FROM embeddings),
+cents AS (
+  SELECT id AS cid, u AS cu FROM unit, step WHERE id % step.s = 0
+  ORDER BY id LIMIT 16
+),
+assigned AS (
+  SELECT id, cell, u FROM (
+    SELECT un.id, c.cid AS cell, un.u,
+           row_number() OVER (
+             PARTITION BY un.id
+             ORDER BY round({_DUCK_DOT.format(d=_DIM, a="un.u", b="c.cu")}, 6) DESC,
+                      c.cid ASC) AS rk
+    FROM unit un CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+hits AS (
+  SELECT a.id, b.id AS prev_id,
+         round({_DUCK_DOT.format(d=_DIM, a="a.u", b="b.u")}, 5) AS cosine
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.id < a.id
+  WHERE round({_DUCK_DOT.format(d=_DIM, a="a.u", b="b.u")}, 5) >= 0.35
+),
+best AS (
+  SELECT id, prev_id AS dup_of, cosine FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY cosine DESC, prev_id ASC) AS rk
+    FROM hits
+  ) WHERE rk = 1
+)
+SELECT a.id, a.cell, (b.id IS NULL) AS keep,
+       CAST(b.dup_of AS DOUBLE) AS dup_of, b.cosine
+FROM assigned a LEFT JOIN best b ON a.id = b.id
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import token_counts
 
@@ -969,6 +1030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "ann_buckets": q_ann_buckets,
     "ivf_topk": q_ivf_topk,
+    "semantic_dedup": q_semantic_dedup,
     "token_counts": q_token_counts,
     "quality_scores": q_quality,
     "lang_id": q_lang_id,
@@ -991,6 +1053,7 @@ ORACLES: dict[str, str] = {
     "embedding_topk": o_embedding_topk(),
     "ann_buckets": o_ann_buckets(),
     "ivf_topk": o_ivf_topk(),
+    "semantic_dedup": o_semantic_dedup(),
     "token_counts": o_token_counts(),
     "quality_scores": o_quality(),
     "lang_id": o_lang_id(),

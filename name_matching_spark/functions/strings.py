@@ -162,14 +162,40 @@ def _as_str_array(xs) -> np.ndarray:
     return out
 
 
-def jaro_similarity(a, b, chunk: int = 8192) -> np.ndarray:
-    """Vectorized Jaro similarity over paired string batches."""
+def _default_chunk() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_KERNEL_CHUNK", "8192"))
+
+
+def jaro_similarity(a, b, chunk: int | None = None) -> np.ndarray:
+    """Vectorized Jaro similarity over paired string batches.
+
+    ``chunk`` bounds the (chunk, La, Lb) match tensors; 8192 measured best
+    on this box (smaller chunks push the per-position scan into Python-
+    interpreter overhead, larger ones exceed the Arrow batch anyway).
+    Override via SPARK_GRAFT_KERNEL_CHUNK."""
+    chunk = chunk or _default_chunk()
     a = _as_str_array(a)
     b = _as_str_array(b)
+    # batch-level similarity cache: score_pairs runs BOTH jaro_distance and
+    # jaro_winkler_similarity per batch, and Winkler = Jaro + prefix bonus —
+    # the second call reuses the first's O(n·La·Lb) matching pass. Keyed by
+    # both sides' (pointer, length); the value retains both arrays. Callers
+    # must not mutate the returned array in place (none do — every consumer
+    # derives a new array).
+    ka, kb = _cache_key(a, "sim"), _cache_key(b, "sim")
+    skey = ("jarosim", ka, kb) if ka is not None and kb is not None else None
+    if skey is not None:
+        hit = _ENC_CACHE.get(skey)
+        if hit is not None:
+            return hit[1]
     n = len(a)
     out = np.empty(n, dtype=np.float64)
     for s in range(0, n, chunk):
         out[s : s + chunk] = _jaro_chunk(a[s : s + chunk], b[s : s + chunk])
+    if skey is not None:
+        _ENC_CACHE[skey] = ((a, b), out)
     return out
 
 
@@ -260,12 +286,13 @@ def jaro_winkler_similarity(a, b, p: float = 0.1, max_prefix: int = 4) -> np.nda
     return sim + prefix * p * (1.0 - sim)
 
 
-def qgram_cosine_distance(a, b, q: int = 1, chunk: int = 8192) -> np.ndarray:
+def qgram_cosine_distance(a, b, q: int = 1, chunk: int | None = None) -> np.ndarray:
     """q-gram cosine distance (stringdist method='cosine', default q=1).
 
     distance = 1 - cos(counts_a, counts_b) over q-gram count vectors.
     Strings shorter than q (incl. empty) yield NaN like stringdist.
     """
+    chunk = chunk or _default_chunk()
     a = _as_str_array(a)
     b = _as_str_array(b)
     n = len(a)

@@ -233,3 +233,60 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540) of an embedding corpus: vectors are clustered by the
+    IVF coarse quantizer (similarity.ivf_assign), and WITHIN each cell a
+    vector whose cosine to any lower-id cellmate is ≥ ``threshold`` is
+    marked a semantic duplicate of its closest such predecessor —
+    keep-first semantics, min id survives, same convention as the exact/
+    MinHash dedups above.
+
+    Output (id, cell, keep, dup_of, cosine): one row per input vector;
+    keep=false rows carry the surviving representative and the cosine that
+    condemned them.
+
+    Scale shape: the only quadratic term is within-cell, and n_centroids is
+    the dial (SemDeDup itself runs k-means at ~0.1% of corpus size); the
+    cell self-join is a plain equi-join AQE can split on a skewed cell, the
+    quantizer assign is a broadcast-centroid argmax linear in |N|, and
+    nothing touches the driver. ``kmeans_iters`` > 0 tightens the cells
+    (DataFrame-native spherical Lloyd — see ivf_assign)."""
+    from pyspark.sql import Window
+
+    from .similarity import _dot_expr, ivf_assign
+
+    assigned, _ = ivf_assign(
+        emb, n_centroids, id_col, vec_col, kmeans_iters=kmeans_iters
+    )
+    a = assigned.select("cell", "id", "u")
+    b = assigned.select(
+        "cell", F.col("id").alias("prev_id"), F.col("u").alias("pu")
+    )
+    hits = (
+        a.join(b, "cell")
+        .where(F.col("prev_id") < F.col("id"))
+        .withColumn("cosine", F.round(F.expr(_dot_expr("u", "pu")), 5))
+        .where(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("prev_id"))
+    best = (
+        hits.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("id", F.col("prev_id").alias("dup_of"), "cosine")
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(best, "id", "left")
+        .withColumn("keep", F.col("dup_of").isNull())
+        .select("id", "cell", "keep", "dup_of", "cosine")
+    )
