@@ -36,7 +36,7 @@ def run_bench(sf_dir: str, cpus: str, repeats: int | None = None) -> dict:
     stays warm — the steady state a long-lived cluster session runs in.
     Reported: value = best e2e, queries = per-stage times from the best
     run, runs_sec = every sample (the spread IS the variance evidence)."""
-    repeats = repeats or int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = repeats or int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     best = None
     runs: list[float] = []
     for _ in range(repeats):

@@ -107,6 +107,11 @@ def match_names(
     (match_names.R:806-808): name, match, shared_words, cosine_similarity,
     jw_distance, human_jw_distance, human_cosine_similarity, initials_match.
     """
+    # EAGER CHECKPOINT, not persist: prepped is embedded in every channel,
+    # every backfill and token_sim — a dozen plan sites. A cached relation
+    # keeps its full analyzed subtree in each consumer's plan, and the
+    # resulting plan blow-up measured 2.5× e2e at sf0.1 (98 s vs 39 s);
+    # checkpoint truncation keeps every consumer's plan a flat scan.
     prepped = materialize(prepare_names(names), eager=True)
 
     # --- channel 1: human first-name distance (match_names.R:599-601)
