@@ -390,6 +390,39 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated per-language sampling (training-mix
+    curation): en 50%, de/es 25%, fr 10%, zh dropped (default rate 0)."""
+    from .operators.textstats import stratified_sample
+
+    _register(spark, sf_dir, "documents")
+    out = stratified_sample(
+        spark.table("documents"), _SAMPLE_RATES, default_rate=0.0, seed=7
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+def o_stratified_sample() -> str:
+    h = DUCK_H.format(x="'7' || ':' || CAST(doc_id AS VARCHAR)")
+    rate = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items()))
+        + " ELSE 0.0 END"
+    )
+    return f"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE ({h}) % 1000000 < ({rate}) * 1000000
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: IVF cells → within-cell cosine ≥ τ to
     a lower id ⇒ duplicate of the closest predecessor (keep-first)."""
@@ -1031,6 +1064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_buckets": q_ann_buckets,
     "ivf_topk": q_ivf_topk,
     "semantic_dedup": q_semantic_dedup,
+    "stratified_sample": q_stratified_sample,
     "token_counts": q_token_counts,
     "quality_scores": q_quality,
     "lang_id": q_lang_id,
@@ -1054,6 +1088,7 @@ ORACLES: dict[str, str] = {
     "ann_buckets": o_ann_buckets(),
     "ivf_topk": o_ivf_topk(),
     "semantic_dedup": o_semantic_dedup(),
+    "stratified_sample": o_stratified_sample(),
     "token_counts": o_token_counts(),
     "quality_scores": o_quality(),
     "lang_id": o_lang_id(),

@@ -150,3 +150,46 @@ def fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def stratified_sample(
+    docs,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+):
+    """Deterministic per-stratum document sampling — the training-mix
+    curation step (e.g. "keep 50% of en, 25% of de, drop the rest").
+
+    Keep iff md5(seed:id) (first 15 hex digits as int) mod 10^6 falls under
+    rate[stratum]·10^6. Hash-gated, NOT rand(): the sample is reproducible
+    across runs and engines, stable under repartitioning (Spark's
+    rand(seed) is per-partition-indexed — a repartition silently changes
+    the sample), and composable — re-running with a higher rate yields a
+    SUPERSET of the previous sample, so a mix can be dialed up without
+    re-shuffling what was already selected. Rates ride a broadcast map
+    join; the filter is a pure Catalyst expression (codegen, pushdown-safe
+    down to the stratum column scan)."""
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    rate_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(rates.items())],
+            f"{strata_col} string, _rate double",
+        )
+    )
+    h = (
+        f"conv(substr(md5(concat('{seed}', ':', cast({id_col} as string))), 1, 15), 16, 10)"
+    )
+    return (
+        docs.join(rate_df, strata_col, "left")
+        .withColumn("_rate", F.coalesce("_rate", F.lit(float(default_rate))))
+        .where(
+            F.expr(f"pmod(cast({h} as bigint), 1000000)")
+            < F.col("_rate") * 1000000
+        )
+        .drop("_rate")
+    )

@@ -273,3 +273,26 @@ def test_ivf_kmeans_refinement(spark):
             .collect())
     )
     assert a == b
+
+
+def test_stratified_sample_properties(spark):
+    # hash-gated sampling: deterministic across runs, monotone in rate
+    # (raising a stratum's rate yields a SUPERSET — a training mix can be
+    # dialed up without resampling), and roughly proportional.
+    from name_matching_spark.operators.textstats import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    lo = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.3, "de": 0.1}).collect()}
+    lo2 = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.3, "de": 0.1}).collect()}
+    hi = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.6, "de": 0.5}).collect()}
+    assert lo == lo2
+    assert lo <= hi
+    n_en = sum(1 for i in lo if i % 2)
+    assert 30 <= n_en <= 90  # ~60 expected of 200 at 0.3
+    # unknown stratum falls to default_rate
+    zh = spark.createDataFrame([(1, "zh")], "doc_id long, lang string")
+    assert stratified_sample(zh, {"en": 1.0}).count() == 0
+    assert stratified_sample(zh, {"en": 1.0}, default_rate=1.0).count() == 1
