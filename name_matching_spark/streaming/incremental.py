@@ -203,7 +203,12 @@ def read_assignments(spark: SparkSession, table_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     partials = spark.read.parquet(os.path.join(table_dir, "assignments"))
-    w = W.partitionBy("block_key", "name").orderBy(F.col("batch_id").asc())
+    # overflow rows are provisional: a later reconciled (non-overflow) row
+    # for the same name supersedes them; among real assignments the FIRST
+    # wins, matching the state semantics
+    w = W.partitionBy("block_key", "name").orderBy(
+        F.col("overflow").asc(), F.col("batch_id").asc()
+    )
     return (
         partials.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -219,3 +224,68 @@ def read_overflow(spark: SparkSession, table_dir: str) -> DataFrame:
     Nothing is silently dropped: every overflowed name is in the assignment
     log with ``overflow=True``."""
     return read_assignments(spark, table_dir).where(F.col("overflow"))
+
+
+def reconcile_overflow(
+    spark: SparkSession, table_dir: str, jaro_threshold: float = 0.15
+) -> int:
+    """Periodic BATCH reconcile of the overflow side-output — the other
+    half of the lambda: streaming keeps per-key state bounded by routing
+    non-matching names on full keys to overflow; this pass scores every
+    overflowed name against ALL of its key's representatives with the
+    batch join + vectorized Jaro kernel (no state cap applies batch-side),
+    assigns it to the closest rep within the threshold (else it becomes
+    its own singleton rep), and appends a reconciled partial that
+    ``read_assignments`` prefers over the provisional overflow rows.
+
+    Returns the number of names reconciled. Scale shape: one blocked
+    equi-join (overflow ⋈ reps on block_key) + mapInPandas scoring — the
+    same shapes as the batch matcher, nothing driver-side."""
+    from ..operators.pairs import score_pairs
+
+    overflow = read_overflow(spark, table_dir).select("block_key", "name")
+    n = overflow.count()
+    if n == 0:
+        return 0
+    reps = (
+        read_assignments(spark, table_dir)
+        .where(F.col("is_new_cluster"))
+        .select("block_key", F.col("name").alias("rep"))
+    )
+    from pyspark.sql import Window as W
+
+    scored = score_pairs(
+        overflow.join(reps, "block_key"),
+        [("_d", "jaro_distance", "name", "rep")],
+    )
+    w = W.partitionBy("block_key", "name").orderBy(F.asc("_d"), F.asc("rep"))
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("block_key", "name", "rep", "_d")
+    )
+    resolved = overflow.join(best, ["block_key", "name"], "left").select(
+        "block_key",
+        "name",
+        F.when(F.col("_d") <= jaro_threshold, F.col("rep"))
+        .otherwise(F.col("name"))
+        .alias("cluster_rep"),
+        F.when(F.col("_d") <= jaro_threshold, F.col("_d"))
+        .otherwise(F.lit(0.0))
+        .alias("jaro_distance"),
+        (~(F.col("_d") <= jaro_threshold)).alias("is_new_cluster"),
+        F.lit(False).alias("overflow"),
+    )
+    out_dir = os.path.join(table_dir, "assignments")
+    import re
+
+    gens = [
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if re.fullmatch(r"batch_id=-?\d+", d)
+    ]
+    next_id = max(gens, default=-1) + 1
+    resolved.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={next_id}")
+    )
+    return n

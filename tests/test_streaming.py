@@ -212,3 +212,41 @@ def test_incremental_assign_state_cap(spark, tmp_path):
         per_key2.setdefault(r["block_key"], []).append(r)
     for key, rs in per_key2.items():
         assert sum(r["is_new_cluster"] for r in rs) <= 2, key
+
+
+def test_reconcile_overflow(spark, tmp_path):
+    # the batch half of the lambda: overflowed names get assigned by a
+    # capless batch pass, and read_assignments prefers the reconciled row
+    # over the provisional overflow row.
+    from name_matching_spark.streaming.incremental import (
+        read_assignments,
+        read_overflow,
+        reconcile_overflow,
+        start_incremental_assign,
+    )
+
+    src = str(tmp_path / "rsrc")
+    table = str(tmp_path / "rtable")
+    ckpt = str(tmp_path / "rckpt")
+    names = ["KOTA ENERGY", "KITE OIL", "KYTO GAS", "KETU PETROLEUM",
+             "KATOZ LLC", "KUTEV INC"]
+    _write_docs(spark, src, [(f"d{i}", [_span(nm)]) for i, nm in enumerate(names)])
+    q = start_incremental_assign(spark, src, table, ckpt, max_reps_per_key=2)
+    q.awaitTermination(120)
+    overflowed = {r["name"] for r in read_overflow(spark, table).collect()}
+    assert overflowed
+
+    n = reconcile_overflow(spark, table)
+    assert n == len(overflowed)
+    rows = {r["name"]: r for r in read_assignments(spark, table).collect()}
+    # every previously-overflowed name now has a real assignment
+    for nm in overflowed:
+        r = rows[nm]
+        assert not r["overflow"]
+        assert r["cluster_rep"] is not None
+        # either joined an existing rep within threshold or became its own
+        assert r["is_new_cluster"] == (r["cluster_rep"] == nm)
+    # nothing lost, nothing duplicated
+    assert sorted(rows) == sorted(nm.split()[0] for nm in names)
+    # idempotent when no overflow remains
+    assert reconcile_overflow(spark, table) == 0
