@@ -164,19 +164,46 @@ def match_names(
     )
 
     # --- 4-way full outer merge (match_names.R:716-722) ---------------------
+    # Each channel contributes DISTINCT (name, match) rows and disjoint
+    # score columns, so the 4-way full outer join is equivalent to
+    # union-all + one groupBy(name, match) with null-skipping max — ONE
+    # shuffle instead of three sequential join shuffles (and at 100 TB,
+    # one exchange of the union instead of three pair-keyed exchanges).
+    _schema = {
+        "shared_words": "bigint",
+        "cosine_similarity": "double",
+        "jw_distance": "double",
+        "human_jw_distance": "double",
+        "human_cosine_similarity": "double",
+        "initials_match": "boolean",
+    }
+
+    def _conform(df: DataFrame) -> DataFrame:
+        return df.select(
+            "name",
+            "match",
+            *[
+                F.col(c).cast(t) if c in df.columns else F.lit(None).cast(t).alias(c)
+                for c, t in _schema.items()
+            ],
+        )
+
+    merged = (
+        _conform(cosine)
+        .unionByName(_conform(shared))
+        .unionByName(_conform(jaro))
+        .unionByName(_conform(human))
+        .where(F.col("name") != F.col("match"))
+        .groupBy("name", "match")
+        .agg(*[F.max(c).alias(c) for c in _schema])
+    )
     # Materialize the merged pair table before the backfill: the backfill
     # references `master` on both sides of its joins (missing-score subsets
     # joined back), so without a checkpoint every channel's whole plan would
     # be re-evaluated once per backfill step — O(channels × backfills)
     # recompute. One localCheckpoint makes the backfill linear and truncates
-    # a 40-join lineage that AQE otherwise re-optimizes per stage.
-    master = materialize(
-        cosine.join(shared, ["name", "match"], "full")
-        .join(jaro, ["name", "match"], "full")
-        .join(human, ["name", "match"], "full")
-        .where(F.col("name") != F.col("match")),
-        eager=True,
-    )
+    # the multi-channel lineage that AQE otherwise re-optimizes per stage.
+    master = materialize(merged, eager=True)
 
     # --- set-oriented backfill (match_names.R:729-808) ---------------------
     # shared_words: recompute with drop_common_words=FALSE for missing pairs
