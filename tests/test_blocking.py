@@ -172,3 +172,35 @@ def test_split_fuzz_property(spark):
         assert got == expected  # complete AND exactly-once (list, not set)
 
     inner()
+
+
+def test_pairs_from_index_plan_shapes(spark):
+    # perf regression guard for the pay-as-you-go skew design (round 3):
+    # with no oversized block, the plan must contain NO split machinery and
+    # the self-join must read the CACHED index (never a recomputed copy —
+    # the round-1 broadcast-of-recomputed-subtree defect); with a forced
+    # tiny cap the split branch must appear.
+    import io
+    from contextlib import redirect_stdout
+
+    from name_matching_spark.operators.blocking import pairs_from_index
+
+    idx = spark.createDataFrame(
+        [(f"n{i:02d}", f"K{i % 5}") for i in range(40)], ["name", "token"]
+    )
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    pairs, _ = pairs_from_index(idx, "token", max_block=2000)
+    p = plan_of(pairs)
+    assert "task_key" not in p          # no split subtree planned
+    assert "InMemoryTableScan" in p     # join sides read the cached index
+    assert "Window" not in p            # no per-row window count over the index
+
+    pairs_split, _ = pairs_from_index(idx, "token", max_block=3)
+    ps = plan_of(pairs_split)
+    assert "task_key" in ps             # split branch active under a hot cap
