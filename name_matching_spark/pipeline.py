@@ -263,6 +263,53 @@ def match_names(
     )
 
 
+def incremental_resolve(
+    new_names: DataFrame,
+    prior_clusters: DataFrame,
+    jaro_accept: float = 0.15,
+    cosine_accept: float = 0.4,
+    shared_words_accept: int = 2,
+    **match_kwargs,
+) -> DataFrame:
+    """Batch-incremental resolution — the re-run path when NEW names arrive
+    and the prior clustering should be extended, not recomputed.
+
+    The reference re-runs its whole makefile on every refresh; at 100 TB
+    that is a full-corpus O(blocked pairs) job for a sliver of new data.
+    Here new names are matched against the prior clusters' REPRESENTATIVES
+    (group_name — the deterministic min-name of each cluster) plus each
+    other: the matched universe is |new| + |clusters|, not |corpus|. The
+    accepted edges are unioned with the prior member→representative edges
+    and re-clustered, so:
+
+    - a new name close to a cluster rep joins that cluster;
+    - new names can form brand-new clusters among themselves;
+    - two PRIOR clusters whose reps now match get merged (drift
+      reconciliation — same transitive rule a full re-run would apply);
+    - prior memberships are preserved verbatim otherwise (their edges are
+      re-asserted, not re-scored).
+
+    Approximation (documented): a new name is compared to each cluster's
+    representative, not to every member — the same rep-based contract as
+    the streaming assigner (streaming/incremental.py), whose periodic full
+    re-resolve remains the exactness backstop.
+
+    ``prior_clusters`` is (name, cluster, group_name) as produced by
+    name_clusters. Returns the updated (name, cluster, group_name)."""
+    from .operators.cc import name_clusters
+
+    reps = prior_clusters.select(F.col("group_name").alias("name")).distinct()
+    universe = new_names.select("name").unionByName(reps).distinct()
+    mm = match_names(universe, **match_kwargs)
+    accepted = mm.master.where(
+        (F.col("jw_distance") <= jaro_accept)
+        | (F.col("cosine_similarity") >= cosine_accept)
+        | (F.col("shared_words") >= shared_words_accept)
+    ).select("name", "match")
+    prior_edges = prior_clusters.select("name", F.col("group_name").alias("match"))
+    return name_clusters(accepted.unionByName(prior_edges))
+
+
 @dataclass
 class ResolutionResult:
     names: DataFrame        # (name, n)

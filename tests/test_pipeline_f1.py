@@ -28,3 +28,32 @@ def test_pipeline_f1_gate(spark):
     )
     # span-sequence invariant holds end-to-end: source docs never mutated
     assert docs.count() > 0
+
+
+def test_incremental_resolve(spark):
+    # batch-incremental path: new names join existing clusters via the
+    # cluster representative, brand-new names form their own clusters, and
+    # prior memberships survive verbatim.
+    from name_matching_spark.pipeline import incremental_resolve
+
+    prior = spark.createDataFrame(
+        [
+            ("MERKAVDI OPERATING", 1, "MERKAVDI ENERGY"),
+            ("MERKAVDI ENERGY LLC", 1, "MERKAVDI ENERGY"),
+            ("ZELBONKA OIL", 2, "ZELBONKA HOLDINGS"),
+        ],
+        "name string, cluster long, group_name string",
+    )
+    new = spark.createDataFrame(
+        [("MERKAVDO ENERGY",), ("WEMFAZKA PETROLEUM",)], "name string"
+    )
+    out = {r["name"]: r["group_name"] for r in incremental_resolve(new, prior).collect()}
+    # typo'd newcomer lands in the MERKAVDI cluster
+    assert out["MERKAVDO ENERGY"] == "MERKAVDI ENERGY"
+    # prior memberships preserved
+    assert out["MERKAVDI OPERATING"] == "MERKAVDI ENERGY"
+    assert out["MERKAVDI ENERGY LLC"] == "MERKAVDI ENERGY"
+    assert out["ZELBONKA OIL"] == "ZELBONKA HOLDINGS"
+    # the unrelated newcomer joins nothing (name_clusters emits members
+    # only, so it is absent — its own singleton)
+    assert "WEMFAZKA PETROLEUM" not in out
