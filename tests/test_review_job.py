@@ -72,3 +72,41 @@ def test_review_loop(spark, tmp_path, capsys):
     assert by_stage["modeled"]["n_total"] == 2      # the two dist-0 pairs
     assert by_stage["modeled"]["n_reviewed"] == 1   # C INC decided
     assert by_stage["all_pairs"]["n_pending"] == 2
+
+
+def test_incremental_job_seed_and_refresh(spark, tmp_path, capsys):
+    # lambda batch side as a job: seed the generation store from a "full
+    # resolve" output, refresh with a frontier of new names, and the store
+    # advances a generation with the newcomer clustered via the rep.
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(__file__), "..", "jobs", "incremental_job.py")
+    spec = importlib.util.spec_from_file_location("incremental_job", path)
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    seed_pq = str(tmp_path / "seed.parquet")
+    spark.createDataFrame(
+        [
+            ("MERKAVDI OPERATING", 1, "MERKAVDI ENERGY"),
+            ("ZELBONKA OIL", 2, "ZELBONKA HOLDINGS"),
+        ],
+        "name string, cluster long, group_name string",
+    ).write.parquet(seed_pq)
+    new_pq = str(tmp_path / "new.parquet")
+    spark.createDataFrame([("MERKAVDO ENERGY",)], "name string").write.parquet(new_pq)
+    store = str(tmp_path / "clusters_store")
+
+    job.main(["--seed", seed_pq, "--clusters-store", store])
+    capsys.readouterr()
+    rc = job.main(["--new-names", new_pq, "--clusters-store", store])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["new_names"] == 1
+
+    from name_matching_spark.io import read_merged
+
+    rows = {r["name"]: r["group_name"] for r in read_merged(spark, store).collect()}
+    assert rows["MERKAVDO ENERGY"] == "MERKAVDI ENERGY"
+    assert rows["MERKAVDI OPERATING"] == "MERKAVDI ENERGY"
+    assert rows["ZELBONKA OIL"] == "ZELBONKA HOLDINGS"
