@@ -219,7 +219,10 @@ def _jaro_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     ii = np.arange(La)[:, None]
     jj = np.arange(Lb)[None, :]
     window_ok = np.abs(ii - jj)[None, :, :] <= win[:, None, None]
-    # in-place AND: one fewer (n, La, Lb) allocation per chunk
+    # in-place AND: one fewer (n, La, Lb) allocation per chunk. (Tried:
+    # applying the window as a per-position (n, Lb) mask inside the scan
+    # loop to skip this tensor entirely — measured 20-30% SLOWER at both
+    # 1 and 32 cores; the fused big-tensor AND beats La small masked ops.)
     cand = np.logical_and(eq, window_ok, out=eq)
 
     used_b = np.zeros((n, Lb), dtype=bool)
