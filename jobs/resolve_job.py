@@ -23,7 +23,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# importable both under spark-submit --py-files AND as `python jobs/<job>.py`
+# (python puts jobs/ on sys.path, not the repo root)
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def main(argv: list[str]) -> int:
