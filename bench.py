@@ -37,6 +37,14 @@ def run_bench(sf_dir: str, cpus: str, repeats: int | None = None) -> dict:
     Reported: value = best e2e, queries = per-stage times from the best
     run, runs_sec = every sample (the spread IS the variance evidence)."""
     repeats = repeats or int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # untimed warmup at sf0.001 (~10 s): pays the one-time JVM JIT, Janino
+    # codegen of the normalization expressions, and Python-worker spawn
+    # OUTSIDE the timed window — the cold first sample otherwise runs 2-5×
+    # the steady state a long-lived cluster session sees
+    try:
+        _run_bench_once("/root/testdata/sf0.001", cpus)
+    except Exception:
+        pass  # warmup is best-effort; the timed runs are self-sufficient
     best = None
     runs: list[float] = []
     for _ in range(repeats):
