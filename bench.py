@@ -30,7 +30,7 @@ def _sf_name(sf_dir: str) -> str:
 
 def run_bench(sf_dir: str, cpus: str, repeats: int | None = None) -> dict:
     """Best-of-N over ``repeats`` full suite runs (env
-    SPARK_GRAFT_BENCH_REPEATS, default 2): single-box wall-clock at sf0.1
+    SPARK_GRAFT_BENCH_REPEATS, default 3): single-box wall-clock at sf0.1
     fluctuates ±40% with host load (BENCH/BASELINE.md), so one sample is
     not a reproducible number. Caches are cleared between runs; the JVM
     stays warm — the steady state a long-lived cluster session runs in.
@@ -40,9 +40,11 @@ def run_bench(sf_dir: str, cpus: str, repeats: int | None = None) -> dict:
     # untimed warmup at sf0.001 (~10 s): pays the one-time JVM JIT, Janino
     # codegen of the normalization expressions, and Python-worker spawn
     # OUTSIDE the timed window — the cold first sample otherwise runs 2-5×
-    # the steady state a long-lived cluster session sees
+    # the steady state a long-lived cluster session sees. The warmup scale
+    # is derived from the configured testdata root, not hardcoded.
+    warmup_dir = os.path.join(os.path.dirname(os.path.normpath(sf_dir)), "sf0.001")
     try:
-        _run_bench_once("/root/testdata/sf0.001", cpus)
+        _run_bench_once(warmup_dir if os.path.isdir(warmup_dir) else sf_dir, cpus)
     except Exception:
         pass  # warmup is best-effort; the timed runs are self-sufficient
     best = None

@@ -43,6 +43,8 @@ def main(argv: list[str]) -> int:
     p.add_argument("--seed", help="seed the store from a full resolve output")
     p.add_argument("--full-output", help="also write the merged table as plain parquet")
     args = p.parse_args(argv)
+    if not args.new_names and not args.seed:
+        p.error("--new-names is required (or --seed for the first run)")
 
     from pyspark.sql import SparkSession
 

@@ -41,6 +41,27 @@ from pyspark.sql import functions as F
 # (Spark 4 runs ANSI mode — overflow is an error, not a wrap).
 _MERSENNE = (1 << 31) - 1
 
+# DataFrames persisted by pairs_from_index, pending release. The pair
+# outputs are lazy, so the caches must outlive this function — but a
+# long-lived session would otherwise accumulate a full inverted-index
+# copy in executor storage per pair channel per run (ADVICE r3). The
+# pipeline releases them at its materialization barrier, once the channel
+# subtrees have actually been evaluated.
+_PENDING_CACHES: list[DataFrame] = []
+
+
+def release_block_caches() -> None:
+    """Unpersist every index/hot-key cache registered by
+    ``pairs_from_index``. Call AFTER the consuming pair DataFrames are
+    materialized (checkpoint/collect/write) — match_names does this at its
+    merged-master checkpoint barrier."""
+    while _PENDING_CACHES:
+        df = _PENDING_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session torn down first — nothing to release
+
 
 def with_name_id(names: DataFrame, name_col: str = "name") -> DataFrame:
     """Stable 64-bit id per name (xxhash64) — used for i<j upper-triangle
@@ -111,6 +132,7 @@ def pairs_from_index(
         .where(F.col("_bs") > max_block)
         .persist()
     )
+    _PENDING_CACHES.extend([idx, hot])
     # one job: decides the plan shape and populates both caches
     has_hot = not hot.isEmpty()
 

@@ -204,6 +204,12 @@ def match_names(
     # recompute. One localCheckpoint makes the backfill linear and truncates
     # the multi-channel lineage that AQE otherwise re-optimizes per stage.
     master = materialize(merged, eager=True)
+    # the channel subtrees are now fully evaluated: release the inverted-
+    # index caches pairs_from_index pinned (long-lived sessions would
+    # otherwise accumulate one full index copy per channel per run)
+    from .operators.blocking import release_block_caches
+
+    release_block_caches()
 
     # --- set-oriented backfill (match_names.R:729-808) ---------------------
     # shared_words: recompute with drop_common_words=FALSE for missing pairs

@@ -238,6 +238,25 @@ def reconcile_overflow(
     its own singleton rep), and appends a reconciled partial that
     ``read_assignments`` prefers over the provisional overflow rows.
 
+    Reconciled partials are written in a DISJOINT id space — negative
+    ``batch_id`` values (-1, -2, ...) — never the streaming writer's
+    sequence. The streaming query's epoch counter lives in its own
+    checkpoint, so after a reconcile the next micro-batch would reuse
+    max-on-disk + 1 and its ``mode('overwrite')`` sink would silently
+    delete a reconcile partial written at that id (every reconciled name
+    would revert to overflow on stream resume). Negative ids are invisible
+    to that sequence; ``read_assignments`` already orders overflow rows
+    last, so reconciled rows win regardless of sign.
+
+    State-loop caveat (documented): a reconciled SINGLETON rep does not
+    re-enter the streaming query's per-key state (the key is at cap), so
+    a later stream arrival near that rep deterministically re-overflows —
+    and the NEXT reconcile assigns it to the same reconciled rep, because
+    reconciled singletons carry ``is_new_cluster=True`` and are therefore
+    part of the rep universe this pass scores against. Eventually
+    consistent, never silent (tests/test_streaming.py::
+    test_reconcile_reoverflow_converges).
+
     Returns the number of names reconciled. Scale shape: one blocked
     equi-join (overflow ⋈ reps on block_key) + mapInPandas scoring — the
     same shapes as the batch matcher, nothing driver-side."""
@@ -284,7 +303,11 @@ def reconcile_overflow(
         for d in os.listdir(out_dir)
         if re.fullmatch(r"batch_id=-?\d+", d)
     ]
-    next_id = max(gens, default=-1) + 1
+    # disjoint negative id space: the streaming sink owns ids ≥ 0 (its
+    # epoch counter is checkpoint-tracked and does NOT observe the disk,
+    # so writing at max+1 here would be overwritten by the next
+    # micro-batch — ADVICE r3 high)
+    next_id = min([g for g in gens if g < 0], default=0) - 1
     resolved.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"batch_id={next_id}")
     )

@@ -250,3 +250,91 @@ def test_reconcile_overflow(spark, tmp_path):
     assert sorted(rows) == sorted(nm.split()[0] for nm in names)
     # idempotent when no overflow remains
     assert reconcile_overflow(spark, table) == 0
+
+
+def test_reconcile_survives_stream_resume(spark, tmp_path):
+    # ADVICE r3 (high): reconcile partials must live in an id space the
+    # streaming sink can never reuse. The streaming epoch counter is
+    # checkpoint-tracked (it does NOT observe the assignments directory),
+    # so a reconcile written at max-on-disk + 1 would be overwritten by
+    # the first micro-batch after resume and every reconciled name would
+    # silently revert to overflow. Reconciles now write negative ids.
+    from name_matching_spark.streaming.incremental import (
+        read_assignments,
+        read_overflow,
+        reconcile_overflow,
+        start_incremental_assign,
+    )
+
+    src = str(tmp_path / "asrc")
+    table = str(tmp_path / "atable")
+    ckpt = str(tmp_path / "ackpt")
+    # KATO/KETO/KUTO share metaphone key KT; pairwise jaro > 0.15 except
+    # none — sorted order makes KATO, KETO the reps and KUTO the overflow
+    _write_docs(spark, src, [
+        ("d0", [_span("KATO ENERGY")]),
+        ("d1", [_span("KETO OIL")]),
+        ("d2", [_span("KUTO GAS")]),
+    ])
+    q = start_incremental_assign(spark, src, table, ckpt, max_reps_per_key=2)
+    q.awaitTermination(120)
+    assert {r["name"] for r in read_overflow(spark, table).collect()} == {"KUTO"}
+
+    assert reconcile_overflow(spark, table) == 1
+    rec = {r["name"]: r for r in read_assignments(spark, table).collect()}
+    assert not rec["KUTO"]["overflow"] and rec["KUTO"]["is_new_cluster"]
+
+    # resume the stream from the SAME checkpoint with a new file: its next
+    # micro-batch must not clobber the reconcile partial
+    _write_docs(spark, src, [("d3", [_span("ZEBRAMA HOLDINGS")])])
+    q2 = start_incremental_assign(spark, src, table, ckpt, max_reps_per_key=2)
+    q2.awaitTermination(120)
+    rows = {r["name"]: r for r in read_assignments(spark, table).collect()}
+    assert rows["ZEBRAMA"]["is_new_cluster"]
+    # the reconciled assignment survived the resume
+    assert not rows["KUTO"]["overflow"]
+    assert rows["KUTO"]["cluster_rep"] == "KUTO"
+    assert not read_overflow(spark, table).count()
+
+
+def test_reconcile_reoverflow_converges(spark, tmp_path):
+    # VERDICT r3 item 4: a reconciled singleton rep never re-enters the
+    # streaming state (its key is at cap), so a later near-duplicate
+    # deterministically re-overflows — and the NEXT reconcile assigns it
+    # to the SAME reconciled rep (reconciled singletons carry
+    # is_new_cluster=True, so they are in the rep universe the batch pass
+    # scores against). Eventually consistent, one cluster.
+    from name_matching_spark.streaming.incremental import (
+        read_assignments,
+        read_overflow,
+        reconcile_overflow,
+        start_incremental_assign,
+    )
+
+    src = str(tmp_path / "csrc2")
+    table = str(tmp_path / "ctable2")
+    ckpt = str(tmp_path / "cckpt2")
+    _write_docs(spark, src, [
+        ("d0", [_span("KATO ENERGY")]),
+        ("d1", [_span("KETO OIL")]),
+        ("d2", [_span("KUTO GAS")]),
+    ])
+    q = start_incremental_assign(spark, src, table, ckpt, max_reps_per_key=2)
+    q.awaitTermination(120)
+    assert reconcile_overflow(spark, table) == 1  # KUTO → singleton rep
+
+    # KYUTO: same KT block key, jaro(KUTO, KYUTO)=0.067 ≤ 0.15, > 0.15 to
+    # both in-state reps (KATO 0.217, KETO 0.217) → re-overflow
+    _write_docs(spark, src, [("d3", [_span("KYUTO PETROLEUM")])])
+    q2 = start_incremental_assign(spark, src, table, ckpt, max_reps_per_key=2)
+    q2.awaitTermination(120)
+    assert {r["name"] for r in read_overflow(spark, table).collect()} == {"KYUTO"}
+
+    assert reconcile_overflow(spark, table) == 1
+    rows = {r["name"]: r for r in read_assignments(spark, table).collect()}
+    # converged: the near-dup joined the reconciled singleton's cluster
+    assert rows["KYUTO"]["cluster_rep"] == "KUTO"
+    assert not rows["KYUTO"]["is_new_cluster"]
+    assert rows["KUTO"]["cluster_rep"] == "KUTO"
+    # and a third reconcile is a no-op
+    assert reconcile_overflow(spark, table) == 0
