@@ -70,9 +70,23 @@ def _cache_put(key, arr, res):
         _ENC_CACHE[key] = (arr, res)
 
 
+def _scatter_rows_cols(lengths: np.ndarray, total: int):
+    """(rows, cols) fancy indices that place a flat concatenated buffer of
+    per-string bytes/codepoints into a (B, Lmax) matrix."""
+    n = len(lengths)
+    rows = np.repeat(np.arange(n), lengths)
+    starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+    cols = np.arange(total) - starts
+    return rows, cols
+
+
 def _encode(strings: np.ndarray, pad: int) -> tuple[np.ndarray, np.ndarray]:
     """Encode an object array of strings into a (B, Lmax) int32 codepoint
-    matrix padded with ``pad``; returns (matrix, lengths)."""
+    matrix padded with ``pad``; returns (matrix, lengths).
+
+    Batch-vectorized: ONE join + ONE utf-32 encode + ONE scatter — the
+    per-string encode loop was ~half of total kernel time at 100k-pair
+    batches (round-4 profile)."""
     key = _cache_key(strings, pad)
     cached = _cache_get(key)
     if cached is not None:
@@ -84,19 +98,13 @@ def _encode(strings: np.ndarray, pad: int) -> tuple[np.ndarray, np.ndarray]:
         res = np.full((n, 1), pad, dtype=np.int32), lengths
         _cache_put(key, strings, res)
         return res
+    buf = np.frombuffer("".join(strings).encode("utf-32-le"), dtype=np.uint32)
     mat = np.full((n, lmax), pad, dtype=np.int32)
-    # bulk decode: join with \0 and view as codepoints would lose alignment;
-    # per-string frombuffer on UTF-32 is allocation-light and C-speed.
-    for i, s in enumerate(strings):
-        if s:
-            mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    rows, cols = _scatter_rows_cols(lengths, len(buf))
+    mat[rows, cols] = buf
     res = mat, lengths
     _cache_put(key, strings, res)
     return res
-
-
-class _NotU8(Exception):
-    """String batch not encodable as uint8 bytes (non-latin-1 or ≥ 0xFE)."""
 
 
 # uint8 pad bytes for the two sides; real chars are required < 0xFE so the
@@ -119,16 +127,20 @@ def _encode_u8(strings: np.ndarray, pad: int):
     lengths = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
     lmax = int(lengths.max()) if n else 0
     mat = np.full((n, max(lmax, 1)), _U8_PAD[pad], dtype=np.uint8)
+    # batch-vectorized encode (ONE join + ONE latin-1 encode + ONE
+    # scatter): any non-latin-1 string fails the whole batch to the int32
+    # path, exactly like the old per-string loop did
     try:
-        for i, s in enumerate(strings):
-            if s:
-                eb = s.encode("latin-1")
-                if b"\xfe" in eb or b"\xff" in eb:
-                    raise _NotU8
-                mat[i, : len(s)] = np.frombuffer(eb, dtype=np.uint8)
-    except (UnicodeEncodeError, _NotU8):
+        buf = np.frombuffer("".join(strings).encode("latin-1"), dtype=np.uint8)
+    except UnicodeEncodeError:
         _cache_put(key, strings, "fail")
         return None
+    if len(buf) and int(buf.max()) >= 0xFE:  # reserved for pads
+        _cache_put(key, strings, "fail")
+        return None
+    if lmax:
+        rows, cols = _scatter_rows_cols(lengths, len(buf))
+        mat[rows, cols] = buf
     res = (mat, lengths)
     _cache_put(key, strings, res)
     return res
@@ -159,6 +171,12 @@ def _as_str_array(xs) -> np.ndarray:
     for i, v in enumerate(arr):
         out[i] = "" if v is None or (isinstance(v, float) and np.isnan(v)) else str(v)
     _cache_put(key, arr, out)
+    # ALSO self-key the converted array: jaro_winkler passes its already-
+    # converted arrays back into jaro_similarity, and without this entry
+    # that inner call re-copies them — new pointer, so the jarosim result
+    # cache missed and Winkler silently re-ran the whole matching pass
+    # (found in the round-4 profile: jaro_similarity ran twice per batch)
+    _cache_put(_cache_key(out, "str"), out, out)
     return out
 
 
@@ -166,6 +184,46 @@ def _default_chunk() -> int:
     import os
 
     return int(os.environ.get("SPARK_GRAFT_KERNEL_CHUNK", "8192"))
+
+
+import sys as _sys
+
+_LITTLE_ENDIAN = _sys.byteorder == "little"
+
+
+def _pair_chunks(a: np.ndarray, b: np.ndarray, chunk: int):
+    """Length-bucketed chunking of a pair batch (VERDICT r3 item 1).
+
+    Pairs are processed in ascending max(len_a, len_b) order, so a chunk's
+    (chunk, La, Lb) match tensors are sized by the chunk's OWN longest
+    string, not the batch maximum — short pairs stop paying the full-width
+    tensor for one long outlier in the Arrow batch. Returns
+    [(scatter_idx | None, a_chunk, b_chunk)]; ``None`` means the whole
+    batch (single chunk — no reorder needed).
+
+    Cached per (a, b) inside a shared_encoding scope: all four kernels in a
+    score_pairs pass iterate the SAME chunk arrays, so the per-chunk encode
+    caches keep hitting across kernels exactly as with contiguous slices.
+    """
+    n = len(a)
+    if n <= chunk:
+        return [(None, a, b)]
+    ka, kb = _cache_key(a, "chunks"), _cache_key(b, "chunks")
+    skey = ("chunks", ka, kb, chunk) if ka is not None and kb is not None else None
+    if skey is not None:
+        hit = _ENC_CACHE.get(skey)
+        if hit is not None:
+            return hit[1]
+    la = np.fromiter((len(s) for s in a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in b), dtype=np.int64, count=n)
+    order = np.argsort(np.maximum(la, lb), kind="stable")
+    chunks = []
+    for s in range(0, n, chunk):
+        idx = order[s : s + chunk]
+        chunks.append((idx, a[idx], b[idx]))
+    if skey is not None:
+        _ENC_CACHE[skey] = ((a, b), chunks)
+    return chunks
 
 
 def jaro_similarity(a, b, chunk: int | None = None) -> np.ndarray:
@@ -192,8 +250,12 @@ def jaro_similarity(a, b, chunk: int | None = None) -> np.ndarray:
             return hit[1]
     n = len(a)
     out = np.empty(n, dtype=np.float64)
-    for s in range(0, n, chunk):
-        out[s : s + chunk] = _jaro_chunk(a[s : s + chunk], b[s : s + chunk])
+    for idx, ac, bc in _pair_chunks(a, b, chunk):
+        r = _jaro_chunk(ac, bc)
+        if idx is None:
+            out[:] = r
+        else:
+            out[idx] = r
     if skey is not None:
         _ENC_CACHE[skey] = ((a, b), out)
     return out
@@ -216,26 +278,10 @@ def _jaro_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     # match window: floor(max(la,lb)/2) - 1, clamped at 0
     win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # (n,)
     eq = A[:, :, None] == B[:, None, :]  # (n, La, Lb)
-    ii = np.arange(La)[:, None]
-    jj = np.arange(Lb)[None, :]
-    window_ok = np.abs(ii - jj)[None, :, :] <= win[:, None, None]
-    # in-place AND: one fewer (n, La, Lb) allocation per chunk. (Tried:
-    # applying the window as a per-position (n, Lb) mask inside the scan
-    # loop to skip this tensor entirely — measured 20-30% SLOWER at both
-    # 1 and 32 cores; the fused big-tensor AND beats La small masked ops.)
-    cand = np.logical_and(eq, window_ok, out=eq)
-
-    used_b = np.zeros((n, Lb), dtype=bool)
-    match_a = np.zeros((n, La), dtype=bool)
-    a_to_j = np.zeros((n, La), dtype=np.int64)
-    rows = np.arange(n)
-    for i in range(La):
-        avail = cand[:, i, :] & ~used_b
-        has = avail.any(axis=1)
-        j = avail.argmax(axis=1)
-        used_b[rows[has], j[has]] = True
-        match_a[:, i] = has
-        a_to_j[:, i] = np.where(has, j, Lb)
+    if Lb <= 64 and _LITTLE_ENDIAN:
+        match_a, used_b = _assign_matches_packed(eq, win)
+    else:
+        match_a, used_b = _assign_matches_bool(eq, win)
 
     m = match_a.sum(axis=1).astype(np.float64)
     matched = m > 0
@@ -268,25 +314,111 @@ def _jaro_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return sim
 
 
+def _assign_matches_bool(eq: np.ndarray, win: np.ndarray):
+    """Greedy Jaro match assignment, dense-bool fallback (Lb > 64 words or
+    big-endian host): window tensor + per-position argmax scan."""
+    n, La, Lb = eq.shape
+    ii = np.arange(La)[:, None]
+    jj = np.arange(Lb)[None, :]
+    window_ok = np.abs(ii - jj)[None, :, :] <= win[:, None, None]
+    # in-place AND: one fewer (n, La, Lb) allocation per chunk
+    cand = np.logical_and(eq, window_ok, out=eq)
+
+    used_b = np.zeros((n, Lb), dtype=bool)
+    match_a = np.zeros((n, La), dtype=bool)
+    rows = np.arange(n)
+    for i in range(La):
+        avail = cand[:, i, :] & ~used_b
+        has = avail.any(axis=1)
+        j = avail.argmax(axis=1)
+        used_b[rows[has], j[has]] = True
+        match_a[:, i] = has
+    return match_a, used_b
+
+
+def _assign_matches_packed(eq: np.ndarray, win: np.ndarray):
+    """Greedy Jaro match assignment with the candidate mask BIT-PACKED into
+    one uint64 word per (row, a-position) — the hot path whenever the
+    b-side fits 64 chars (every cleaned company name does).
+
+    Versus the dense-bool path this removes the (n, La, Lb) window tensor
+    and its big AND pass entirely (the window becomes one (n, La) uint64
+    mask computed from bit ranges) and shrinks the scan's per-position
+    traffic from (n, Lb) bool slabs to (n,) uint64 words — ~Lb/8× fewer
+    bytes. The greedy rule is unchanged: position i takes the LOWEST
+    available candidate j (lowest set bit ≡ argmax of the bool row).
+
+    This is the memory-bandwidth fix behind the 8→32 scaling gate
+    (VERDICT r3 item 1): the kernel was DRAM-bound on the match tensors."""
+    n, La, Lb = eq.shape
+    one = np.uint64(1)
+    full = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # pack the Lb axis into a single little-endian uint64 per (row, i)
+    p8 = np.packbits(eq, axis=2, bitorder="little")  # (n, La, ceil(Lb/8))
+    if p8.shape[2] < 8:
+        padded = np.zeros((n, La, 8), dtype=np.uint8)
+        padded[:, :, : p8.shape[2]] = p8
+        p8 = padded
+    packed = p8.view(np.uint64)[:, :, 0]  # (n, La)
+
+    # window |i-j| <= win as a bit-range mask: bits [i-win, i+win]
+    def _upto(k: np.ndarray) -> np.ndarray:  # 2^k - 1 for k in [0, 64]
+        kk = k.astype(np.uint64)
+        res = (one << np.minimum(kk, np.uint64(63))) - one
+        return np.where(kk >= np.uint64(64), full, res)
+
+    ii = np.arange(La, dtype=np.int64)[None, :]
+    lo = np.maximum(ii - win[:, None], 0)
+    hi_cnt = np.minimum(ii + win[:, None] + 1, 64)
+    packed &= _upto(hi_cnt) ^ _upto(lo)
+
+    candT = np.ascontiguousarray(packed.T)  # (La, n): contiguous per-i rows
+    used = np.zeros(n, dtype=np.uint64)
+    match_a = np.zeros((n, La), dtype=bool)
+    for i in range(La):
+        avail = candT[i] & ~used
+        used |= avail & (~avail + one)  # take the lowest available bit
+        match_a[:, i] = avail != 0
+    # unpack the final used-bit words back to the (n, Lb) bool the
+    # transposition pass consumes (one cheap pass, not per-position)
+    ub = np.unpackbits(used.view(np.uint8).reshape(n, 8), axis=1, bitorder="little")
+    used_b = ub[:, :Lb].astype(bool)
+    return match_a, used_b
+
+
 def jaro_distance(a, b) -> np.ndarray:
     """Pure Jaro distance = 1 - similarity (stringdist 'jw' with p=0)."""
     return 1.0 - jaro_similarity(a, b)
 
 
-def jaro_winkler_similarity(a, b, p: float = 0.1, max_prefix: int = 4) -> np.ndarray:
+def jaro_winkler_similarity(
+    a, b, p: float = 0.1, max_prefix: int = 4, boost_threshold: float = 0.7
+) -> np.ndarray:
+    """Standard Jaro-Winkler: the common-prefix bonus applies only when the
+    base Jaro similarity exceeds ``boost_threshold`` (Winkler's original
+    rule; also DuckDB's jaro_winkler_similarity, which the kernel now
+    matches bit-for-bit on ASCII — verified in tests/test_strings.py)."""
     a_arr = _as_str_array(a)
     b_arr = _as_str_array(b)
     sim = jaro_similarity(a_arr, b_arr)
-    # common-prefix length up to max_prefix: encoded codepoint matrices +
+    # common-prefix length up to max_prefix: encode only the first
+    # max_prefix chars (a full-width batch encode here would be the one
+    # remaining batch-max-length cost after the chunked Jaro pass) +
     # cumulative AND, fully vectorized across the batch (no per-row Python)
-    A, la, B, lb = _encode_pair(a_arr, b_arr)
+    n = len(a_arr)
+    a4 = np.empty(n, dtype=object)
+    b4 = np.empty(n, dtype=object)
+    for i in range(n):
+        a4[i] = a_arr[i][:max_prefix]
+        b4[i] = b_arr[i][:max_prefix]
+    A, la, B, lb = _encode_pair(a4, b4)
     k = min(max_prefix, A.shape[1], B.shape[1])
     if k > 0:
         eq = A[:, :k] == B[:, :k]  # pads differ → False past either length
         prefix = np.cumprod(eq, axis=1).sum(axis=1).astype(np.float64)
     else:
         prefix = np.zeros(len(a_arr), dtype=np.float64)
-    return sim + prefix * p * (1.0 - sim)
+    return np.where(sim > boost_threshold, sim + prefix * p * (1.0 - sim), sim)
 
 
 def qgram_cosine_distance(a, b, q: int = 1, chunk: int | None = None) -> np.ndarray:
@@ -300,8 +432,64 @@ def qgram_cosine_distance(a, b, q: int = 1, chunk: int | None = None) -> np.ndar
     b = _as_str_array(b)
     n = len(a)
     out = np.empty(n, dtype=np.float64)
-    for s in range(0, n, chunk):
-        out[s : s + chunk] = _qgram_cosine_chunk(a[s : s + chunk], b[s : s + chunk], q)
+    for idx, ac, bc in _pair_chunks(a, b, chunk):
+        r = _qgram_cosine_chunk(ac, bc, q)
+        if idx is None:
+            out[:] = r
+        else:
+            out[idx] = r
+    return out
+
+
+def _qgram_cosine_u8(A, la, B, lb, q: int) -> np.ndarray:
+    """Packed-key q-gram cosine for uint8 batches. Pads (0xFF / 0xFE) never
+    appear at valid gram positions, so raw bytes ARE the gram alphabet:
+    code = big-endian base-256 fold of q bytes < 2^(8q)."""
+    n = A.shape[0]
+    shift = np.int64(8 * q + 1)
+
+    def _codes(mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        L = mat.shape[1]
+        if L < q:
+            return np.full((n, 1), -1, dtype=np.int64)
+        m = mat.astype(np.int64)
+        code = m[:, : L - q + 1].copy()
+        for k in range(1, q):
+            code = (code << 8) | m[:, k : L - q + 1 + k]
+        pos = np.arange(L - q + 1)[None, :]
+        return np.where(pos <= lengths[:, None] - q, code, -1)
+
+    def _keys(codes: np.ndarray, side: int) -> np.ndarray:
+        rows = np.repeat(np.arange(n, dtype=np.int64), codes.shape[1])
+        flat = codes.ravel()
+        ok = flat >= 0
+        return (rows[ok] << shift) | (flat[ok] << np.int64(1)) | np.int64(side)
+
+    k = np.concatenate([_keys(_codes(A, la), 0), _keys(_codes(B, lb), 1)])
+    k.sort()
+    dot = np.zeros(n, dtype=np.float64)
+    na2 = np.zeros(n, dtype=np.float64)
+    nb2 = np.zeros(n, dtype=np.float64)
+    if len(k):
+        seg_key = k >> np.int64(1)  # (row, code) — side stripped
+        new_seg = np.empty(len(k), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = seg_key[1:] != seg_key[:-1]
+        seg = np.cumsum(new_seg) - 1
+        nseg = int(seg[-1]) + 1
+        side = (k & np.int64(1)).astype(bool)
+        cnt_a = np.bincount(seg[~side], minlength=nseg).astype(np.float64)
+        cnt_b = np.bincount(seg[side], minlength=nseg).astype(np.float64)
+        seg_row = seg_key[new_seg] >> np.int64(shift - 1)
+        dot = np.bincount(seg_row, weights=cnt_a * cnt_b, minlength=n)
+        na2 = np.bincount(seg_row, weights=cnt_a * cnt_a, minlength=n)
+        nb2 = np.bincount(seg_row, weights=cnt_b * cnt_b, minlength=n)
+    na = np.sqrt(na2)
+    nb = np.sqrt(nb2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dot / (na * nb)
+    out = 1.0 - cos
+    out[(na == 0) | (nb == 0)] = np.nan
     return out
 
 
@@ -327,11 +515,22 @@ def _qgram_cosine_chunk(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
     (The obvious dense (chunk × vocab) histogram is O(chunk² · len) memory —
     at 10k-row Arrow batches that is gigabytes per worker and collapses
     under 32 concurrent executors; this version is flat.)
+
+    uint8-encoded batches (the hot path) take ``_qgram_cosine_u8``: gram
+    codes are base-256 (≤ 8q bits), so (row, code, side) packs into ONE
+    int64 sort key — a single in-place sort + bincounts instead of the
+    3-key lexsort + gather passes (~2× the q-gram kernel, round-4
+    profile). int32 codepoint batches keep the lexsort (base-1114112
+    codes don't fit a packed key).
     """
     n = len(a)
     if n == 0:
         return np.empty(0, dtype=np.float64)
     A, la, B, lb = _encode_pair(a, b)
+    if A.dtype == np.uint8:
+        shift = 8 * q + 1
+        if n << shift < (1 << 62):
+            return _qgram_cosine_u8(A, la, B, lb, q)
     ca = _qgram_codes(A, la, q)
     cb = _qgram_codes(B, lb, q)
 

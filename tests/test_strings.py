@@ -168,3 +168,57 @@ def test_uint8_and_int32_paths_agree():
     assert np.array_equal(got, forced[:3])
     for a, b in (clean, dirty):
         assert np.allclose(jaro_similarity(b, a), jaro_similarity(a, b))
+
+
+def test_packed_and_bool_assignment_paths_agree():
+    # the bit-packed match-assignment path (Lb <= 64, the hot path) must
+    # agree exactly with the dense-bool fallback (Lb > 64), including
+    # across the length-bucketed chunk scatter (small chunk forces both
+    # multiple buckets and out-of-order writes back into the output).
+    import name_matching_spark.functions.strings as S
+
+    rng = random.Random(11)
+    alph = string.ascii_uppercase + " -0123456789"
+    pairs = []
+    for _ in range(3000):
+        la = rng.choice([1, 2, 5, 12, 30, 63, 64, 65, 80, 120])
+        a = "".join(rng.choice(alph) for _ in range(la))
+        if rng.random() < 0.6:
+            b = list(a)
+            for _ in range(rng.randint(0, 8)):
+                if b and rng.random() < 0.5:
+                    b[rng.randrange(len(b))] = rng.choice(alph)
+                else:
+                    b.insert(rng.randint(0, len(b)), rng.choice(alph))
+            b = "".join(b)
+        else:
+            b = "".join(rng.choice(alph) for _ in range(rng.randint(0, 90)))
+        pairs.append((a, b))
+    a = np.array([x for x, _ in pairs], dtype=object)
+    b = np.array([y for _, y in pairs], dtype=object)
+    got = S.jaro_similarity(a, b, chunk=256)  # bucketed, scattered
+    orig = S._assign_matches_packed
+    S._assign_matches_packed = S._assign_matches_bool  # force fallback
+    try:
+        want = S.jaro_similarity(a, b, chunk=1 << 20)  # single chunk
+    finally:
+        S._assign_matches_packed = orig
+    assert np.array_equal(got, want)
+
+
+def test_jaro_winkler_boost_threshold():
+    # standard Winkler rule: no prefix bonus unless base jaro > 0.7 —
+    # matches DuckDB bit-for-bit (divergent pre-round-4: the bonus was
+    # unconditional)
+    got = jaro_winkler_similarity(["FY", "DWAYNE"], ["FFN", "DUANE"])
+    base = jaro_similarity(["FY", "DWAYNE"], ["FFN", "DUANE"])
+    assert got[0] == base[0]  # jaro 0.611 < 0.7 → untouched
+    assert got[1] > base[1]   # jaro 0.822 → bonus applied
+    import duckdb
+
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT jaro_winkler_similarity(?, ?)", [x, y]).fetchone()[0]
+        for x, y in [("FY", "FFN"), ("DWAYNE", "DUANE")]
+    ]
+    assert np.allclose(got, want, atol=1e-9)
