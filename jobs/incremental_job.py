@@ -42,6 +42,13 @@ def main(argv: list[str]) -> int:
     p.add_argument("--clusters-store", required=True)
     p.add_argument("--seed", help="seed the store from a full resolve output")
     p.add_argument("--full-output", help="also write the merged table as plain parquet")
+    p.add_argument(
+        "--member-sample-k",
+        type=int,
+        default=0,
+        help="also match new names against up to K sampled non-representative "
+        "members per prior cluster (0 = rep-only, the default contract)",
+    )
     args = p.parse_args(argv)
     if not args.new_names and not args.seed:
         p.error("--new-names is required (or --seed for the first run)")
@@ -67,7 +74,9 @@ def main(argv: list[str]) -> int:
     from name_matching_spark.pipeline import incremental_resolve
 
     new_names = spark.read.parquet(args.new_names).select("name").distinct()
-    updated = incremental_resolve(new_names, prior)
+    updated = incremental_resolve(
+        new_names, prior, member_sample_k=args.member_sample_k
+    )
     # the refreshed clustering supersedes the prior rows for re-clustered
     # names (drift reconciliation can move a member), so new rows win
     gen = merge_into(

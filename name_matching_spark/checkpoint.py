@@ -66,12 +66,51 @@ class StageResult:
 
 @dataclass
 class CheckpointManager:
+    """``num_buckets`` sizes every bucketed stage this manager writes; it is
+    part of each bucketed stage's layout, so changing it invalidates nothing
+    (the fingerprint covers params, not layout) but mixing bucket counts
+    across stages that join each other forfeits the zero-exchange plan."""
+
     root: str
     spark: SparkSession
+    num_buckets: int = 32
     results: dict[str, StageResult] = field(default_factory=dict)
 
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "manifest.jsonl")
+
+    def _table_name(self, stage: str) -> str:
+        """Catalog table name for a bucketed stage — unique per checkpoint
+        root (two concurrent runs over different roots never collide) and
+        stable across sessions (a resume in a fresh session re-registers the
+        same name over the same files)."""
+        digest = hashlib.sha256(os.path.abspath(self.root).encode()).hexdigest()[:10]
+        return f"nm_ckpt_{digest}_{stage}"
+
+    def _register_bucketed(self, entry: dict, out_dir: str) -> DataFrame:
+        """Re-attach a bucketed stage's files to the session catalog.
+
+        Bucket layout lives in table METADATA, not in the parquet files —
+        a plain ``read.parquet`` of a bucketed directory silently loses the
+        layout and every downstream join re-shuffles. On resume in a fresh
+        session (in-memory catalog, empty) we re-issue the CREATE TABLE DDL
+        recorded in the manifest over the existing files; same-session hits
+        find the table already registered.
+        """
+        tbl = entry["table"]
+        if not self.spark.catalog.tableExists(tbl):
+            cols = ", ".join(entry["bucket_by"])
+            sort = (
+                f" SORTED BY ({', '.join(entry['sort_by'])})"
+                if entry.get("sort_by")
+                else ""
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({entry['schema_ddl']}) USING PARQUET "
+                f"CLUSTERED BY ({cols}){sort} INTO {entry['num_buckets']} BUCKETS "
+                f"LOCATION '{out_dir}'"
+            )
+        return self.spark.table(tbl)
 
     def _load_manifest(self) -> dict[str, dict]:
         out: dict[str, dict] = {}
@@ -97,12 +136,22 @@ class CheckpointManager:
         depends_on: list[str] | None = None,
         params: object = None,
         score_cols: list[str] | None = None,
+        bucket_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
     ) -> DataFrame:
         """Run ``fn`` (or load its checkpoint) as stage ``name``.
 
         The stage fingerprint chains the fingerprints of ``depends_on``
         stages with ``params``; a manifest hit with the same fingerprint and
         an intact _SUCCESS marker short-circuits to a parquet read.
+
+        ``bucket_by`` materializes the stage BUCKETED by those columns
+        (io.write_bucketed rationale): the shuffle on the stage's join key
+        happens once at write time, and every downstream/resume-path join
+        between stages bucketed on the same key plans with zero Exchange —
+        at 100 TB the canonical pair key stops being re-shuffled at every
+        stage boundary that crosses a resume. ``sort_by`` additionally sorts
+        within buckets so sort-merge joins skip their sort.
         """
         dep_fps = [self.results[d].fingerprint for d in (depends_on or [])]
         fp = fingerprint(name, params, *dep_fps)
@@ -111,15 +160,33 @@ class CheckpointManager:
         entry = manifest.get(name)
         success = os.path.join(out_dir, "_SUCCESS")
         if entry and entry["fingerprint"] == fp and os.path.exists(success):
-            df = self.spark.read.parquet(out_dir)
+            if entry.get("bucket_by"):
+                df = self._register_bucketed(entry, out_dir)
+            else:
+                df = self.spark.read.parquet(out_dir)
             res = StageResult(name, df, fp, True, entry["rows"], 0.0)
             self.results[name] = res
             return df
 
         t0 = time.time()
         df = fn()
-        df.write.mode("overwrite").parquet(out_dir)
-        out = self.spark.read.parquet(out_dir)
+        if bucket_by:
+            tbl = self._table_name(name)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            # one shuffle task per bucket → exactly num_buckets files instead
+            # of tasks × buckets
+            writer = (
+                df.repartition(self.num_buckets, *bucket_by)
+                .write.mode("overwrite")
+                .bucketBy(self.num_buckets, *bucket_by)
+            )
+            if sort_by:
+                writer = writer.sortBy(*sort_by)
+            writer.option("path", out_dir).format("parquet").saveAsTable(tbl)
+            out = self.spark.table(tbl)
+        else:
+            df.write.mode("overwrite").parquet(out_dir)
+            out = self.spark.read.parquet(out_dir)
         wall_ms = (time.time() - t0) * 1000
 
         # lineage: per-partition row counts of the materialized output
@@ -152,15 +219,29 @@ class CheckpointManager:
             )
 
         rows = out.count()
-        self._append_manifest(
-            {
-                "stage": name,
-                "fingerprint": fp,
-                "rows": rows,
-                "wall_ms": round(wall_ms, 1),
-                "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            }
-        )
+        mentry = {
+            "stage": name,
+            "fingerprint": fp,
+            "rows": rows,
+            "wall_ms": round(wall_ms, 1),
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        if bucket_by:
+            mentry.update(
+                {
+                    "bucket_by": bucket_by,
+                    "sort_by": sort_by or [],
+                    "num_buckets": self.num_buckets,
+                    "table": self._table_name(name),
+                    # layout metadata needed to re-register the table in a
+                    # fresh session's (empty, in-memory) catalog on resume
+                    "schema_ddl": ", ".join(
+                        f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in out.schema.fields
+                    ),
+                }
+            )
+        self._append_manifest(mentry)
         res = StageResult(name, out, fp, False, rows, wall_ms)
         self.results[name] = res
         return out
@@ -201,12 +282,18 @@ def resolve_entities_checkpointed(
         lambda: extract_names(documents),
         params=("v1", corpus_fingerprint),
     )
+    # the pair-keyed stages materialize bucketed by the canonical pair key
+    # (and clusters by name): master⋈screened on resume, screened⋈clusters
+    # feeds, and merge_labels-style joins all reuse the write-time layout
+    # with zero Exchange (plan-asserted in tests/test_checkpoint.py)
     master = mgr.stage(
         "match_names",
         lambda: match_names(names.select("name"), **match_kwargs).master,
         depends_on=["extract_names"],
         params=sorted(match_kwargs.items()),
         score_cols=["cosine_similarity", "jw_distance", "token_sim"],
+        bucket_by=["name", "match"],
+        sort_by=["name", "match"],
     )
     addr_pairs = (
         mgr.stage(
@@ -231,10 +318,14 @@ def resolve_entities_checkpointed(
         + (["match_addresses"] if addresses is not None else []),
         params=(num_trees, auto_accept, df_fingerprint(labels)),
         score_cols=["rf_prob", "importance_dist"],
+        bucket_by=["name", "match"],
+        sort_by=["name", "match"],
     )
     clusters = mgr.stage(
         "cluster",
         lambda: name_clusters(screened),
         depends_on=["pre_screen"],
+        bucket_by=["name"],
+        sort_by=["name"],
     )
     return mgr, clusters

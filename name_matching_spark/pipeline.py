@@ -275,6 +275,7 @@ def incremental_resolve(
     jaro_accept: float = 0.15,
     cosine_accept: float = 0.4,
     shared_words_accept: int = 2,
+    member_sample_k: int = 0,
     **match_kwargs,
 ) -> DataFrame:
     """Batch-incremental resolution — the re-run path when NEW names arrive
@@ -295,10 +296,17 @@ def incremental_resolve(
     - prior memberships are preserved verbatim otherwise (their edges are
       re-asserted, not re-scored).
 
-    Approximation (documented): a new name is compared to each cluster's
-    representative, not to every member — the same rep-based contract as
-    the streaming assigner (streaming/incremental.py), whose periodic full
-    re-resolve remains the exactness backstop.
+    Approximation (documented): by default a new name is compared to each
+    cluster's representative, not to every member — the same rep-based
+    contract as the streaming assigner (streaming/incremental.py), whose
+    periodic full re-resolve remains the exactness backstop.
+    ``member_sample_k > 0`` widens the contract: up to K NON-representative
+    members per cluster (deterministic hash order, so re-runs sample the
+    same members) also enter the match universe. A new name that misses the
+    rep but hits a sampled member still reaches the cluster transitively —
+    the member's prior member→rep edge carries it through connected
+    components. The universe grows to |new| + |clusters|·(1+K), still
+    independent of |corpus|.
 
     ``prior_clusters`` is (name, cluster, group_name) as produced by
     name_clusters. Returns the updated (name, cluster, group_name)."""
@@ -306,6 +314,17 @@ def incremental_resolve(
 
     reps = prior_clusters.select(F.col("group_name").alias("name")).distinct()
     universe = new_names.select("name").unionByName(reps).distinct()
+    if member_sample_k > 0:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("cluster").orderBy(F.xxhash64("name"), "name")
+        members = (
+            prior_clusters.where(F.col("name") != F.col("group_name"))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= member_sample_k)
+            .select("name")
+        )
+        universe = universe.unionByName(members).distinct()
     mm = match_names(universe, **match_kwargs)
     accepted = mm.master.where(
         (F.col("jw_distance") <= jaro_accept)

@@ -90,3 +90,61 @@ def test_pipeline_resume_identical(spark, tmp_path):
     assert mgr3.results["match_names"].skipped
     assert not mgr3.results["pre_screen"].skipped
     assert not mgr3.results["cluster"].skipped
+
+    # the resume-path master⋈screened join reuses the bucketed write-time
+    # layout: both stages are bucketed by the canonical pair key, so the
+    # join plans with ZERO exchanges (the 100-TB point of bucketing the
+    # stage boundary — no re-shuffle of the pair key across a resume)
+    master = mgr3.results["match_names"].df.select("name", "match", "jw_distance")
+    screened = mgr3.results["pre_screen"].df.select("name", "match", "keep")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = master.join(screened, ["name", "match"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == mgr3.results["pre_screen"].rows
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_bucketed_stage_reregisters_in_fresh_catalog(spark, tmp_path):
+    # simulate resume in a NEW session (empty in-memory catalog): drop the
+    # catalog entry, rebuild the manager, and assert the stage re-registers
+    # the table from manifest DDL over the existing files — still bucketed
+    # (zero-exchange self-join), identical rows.
+    root = str(tmp_path / "ckpt_bucketed")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(500).selectExpr(
+            "concat('N', id) as name", "concat('M', id) as match",
+            "id * 0.001 as jw_distance",
+        )
+
+    m1 = CheckpointManager(root, spark)
+    df1 = m1.stage("pairs", build, bucket_by=["name", "match"],
+                   sort_by=["name", "match"])
+    tbl = m1._table_name("pairs")
+    assert spark.catalog.tableExists(tbl)
+    rows1 = sorted(r["name"] for r in df1.collect())
+
+    spark.sql(f"DROP TABLE {tbl}")  # ← fresh-session catalog
+    m2 = CheckpointManager(root, spark)
+    df2 = m2.stage("pairs", build, bucket_by=["name", "match"],
+                   sort_by=["name", "match"])
+    assert calls == [1]  # skipped, not recomputed
+    assert m2.results["pairs"].skipped
+    assert sorted(r["name"] for r in df2.collect()) == rows1
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = df2.join(df2.select("name", "match"), ["name", "match"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -57,3 +57,39 @@ def test_incremental_resolve(spark):
     # the unrelated newcomer joins nothing (name_clusters emits members
     # only, so it is absent — its own singleton)
     assert "WEMFAZKA PETROLEUM" not in out
+
+
+def test_incremental_resolve_member_sample(spark):
+    # a new name that matches a NON-representative member but misses the
+    # rep: invisible to the default rep-only contract, found when
+    # member_sample_k widens the universe (the member's prior edge to the
+    # rep then carries the new name into the cluster transitively).
+    from name_matching_spark.pipeline import incremental_resolve
+
+    prior = spark.createDataFrame(
+        [
+            ("BELMONTICA CO", 7, "BELMONTICA CO"),
+            ("VONDRAKEL QUARRY", 7, "BELMONTICA CO"),
+        ],
+        "name string, cluster long, group_name string",
+    )
+    new = spark.createDataFrame([("VONDRAKEL QUARRY LLC",)], "name string")
+
+    # default (rep-only): misses — the newcomer stays a singleton
+    out0 = {
+        r["name"]: r["group_name"]
+        for r in incremental_resolve(new, prior).collect()
+    }
+    assert "VONDRAKEL QUARRY LLC" not in out0
+    assert out0["VONDRAKEL QUARRY"] == "BELMONTICA CO"  # membership preserved
+
+    # member-aware: the sampled member hits, the cluster absorbs the newcomer
+    out1 = {
+        r["name"]: r["group_name"]
+        for r in incremental_resolve(new, prior, member_sample_k=1).collect()
+    }
+    assert out1["VONDRAKEL QUARRY LLC"] == "BELMONTICA CO"
+    assert out1["VONDRAKEL QUARRY"] == "BELMONTICA CO"
+    # the rep is the group name itself, so it is not emitted as a member
+    # (group_matches.R semantics: rows where group_name != name)
+    assert "BELMONTICA CO" not in out1
