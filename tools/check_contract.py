@@ -4,7 +4,11 @@ Runs each __spark_entry__.queries() entry at sf=0.01 and compares against
 oracle_sql() via DuckDB: row count, schema (sorted column names), and an
 order-insensitive value hash. Usage:
 
-    python tools/check_contract.py [query ...]
+    python tools/check_contract.py [--json OUT.json] [query ...]
+
+Env ``CHECK_SF_DIR`` points at a different scale (e.g. /root/testdata/sf0.1
+for the at-scale spot-checks); ``--json`` additionally writes the per-query
+results in the driver's CORRECTNESS_r{N}.json format.
 """
 
 from __future__ import annotations
@@ -41,7 +45,13 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()
 
 
-def main(only: list[str]) -> int:
+def main(argv: list[str]) -> int:
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = argv
     import __spark_entry__ as entry_mod
     from name_matching_spark.session import get_spark
 
@@ -56,6 +66,21 @@ def main(only: list[str]) -> int:
     oracles = entry_mod.oracle_sql()
     names = only or list(queries)
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, sdf=None, odf=None, err=None):
+        results[name] = {
+            "rows_match": sdf is not None and odf is not None and len(sdf) == len(odf),
+            "schema_match": sdf is not None and odf is not None
+            and sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": sdf is not None and odf is not None
+            and sorted(sdf.columns) == sorted(odf.columns)
+            and value_hash(sdf) == value_hash(odf),
+            "spark_rows": None if sdf is None else len(sdf),
+            "oracle_rows": None if odf is None else len(odf),
+            "err": err,
+        }
+
     for name in names:
         t0 = time.time()
         try:
@@ -63,16 +88,20 @@ def main(only: list[str]) -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            record(name, err=f"spark: {e}")
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            record(name, sdf=sdf, err="rows-only")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures.append(name)
+            record(name, sdf=sdf, err=f"oracle: {e}")
             continue
+        record(name, sdf=sdf, odf=odf)
         problems = []
         if len(sdf) != len(odf):
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
@@ -97,6 +126,13 @@ def main(only: list[str]) -> int:
         else:
             print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
     spark.stop()
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump({"sf_dir": SF_DIR, "results": results}, f, indent=2)
+            f.write("\n")
+        print(f"wrote {json_out}")
     if failures:
         print(f"\n{len(failures)} failing: {failures}")
         return 1
