@@ -157,7 +157,7 @@ def run_scoring_job(cpus: str, n_pairs: int) -> dict:
         .join(names.select(F.col("id").alias("bid"), F.col("name").alias("nb")),
               F.expr("pmod(a.id + off, %d) = bid" % n_names))
         .select(F.col("a.name").alias("na"), "nb")
-        .repartition(int(cpus) * 2)
+        .repartition(int(cpus) * int(os.environ.get("SPARK_GRAFT_SCORE_PARTS_PER_CPU", "2")))
         .persist()
     )
     n = pairs.count()  # materialize input outside the timed window

@@ -52,9 +52,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Bound Arrow batches: pair-scoring UDFs see ~10k rows/batch, keeping
-        # per-task Python memory flat even when a join output is huge.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Bound Arrow batches: pair-scoring UDFs see ~20k rows/batch, keeping
+        # per-task Python memory flat even when a join output is huge. 20k
+        # measured best at both local[8] and local[32] (the kernels chunk
+        # internally at 8192, so bigger batches only cut per-batch JVM/Python
+        # dispatch overhead — 10k/20k/50k sweep, bench.py --score-job).
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "20000"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
