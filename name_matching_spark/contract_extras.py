@@ -1054,6 +1054,274 @@ GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
 """
 
 
+# ---------------------------------------------------------------------------
+# 4-way channel merge + backfill master (match_names.R:716-808) — drives the
+# REAL pipeline.merge_score_channels with oracle-expressible channels.
+# Channel difference vs production match_names: the Jaro channel blocks on
+# first-token only (the metaphone and xxhash-LSH keys are imperative/
+# non-SQL; their banding math is oracled separately in minhash_bands), and
+# score thresholds apply to round(x, 6) on both sides so an exact-boundary
+# pair can't flip membership on last-ulp float association differences.
+# Everything downstream of the channels — the union-all merge, null-skipping
+# max, shared-word/cosine/raw-jaro backfills and the Monge-Elkan token_sim —
+# is the production code path, hash-compared end to end.
+# ---------------------------------------------------------------------------
+
+def q_match_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .contract import _spark_prepped
+    from .operators.blocking import first_token_key, pairs_from_index, shared_word_pairs
+    from .operators.human import match_first_name
+    from .operators.pairs import score_pairs
+    from .operators.tfidf import tfidf_cosine_pairs, token_weights
+    from .pipeline import merge_score_channels
+    from .session import persist_now
+
+    prepped = _spark_prepped(spark, sf_dir)
+    nonempty = prepped.where(F.col("clean_name") != "")
+    weights = persist_now(token_weights(nonempty, "bag_clean"))
+    cosine = (
+        tfidf_cosine_pairs(nonempty, "bag_clean", threshold=-1.0, weights=weights)
+        .withColumn("cosine_similarity", F.round("cosine_similarity", 6))
+        .where(F.col("cosine_similarity") >= 0.4)
+    )
+    shared, _ = shared_word_pairs(prepped, "bag_shared", max_block=1_000_000)
+    idx = first_token_key(nonempty, "bag_clean", out="bkey").select("name", "bkey")
+    ft_pairs, _dropped = pairs_from_index(idx, "bkey", max_block=1_000_000)
+    cand = (
+        ft_pairs.select("name", "match")
+        .distinct()
+        .join(nonempty.select("name", F.col("clean_name").alias("ca")), "name")
+        .join(
+            nonempty.select(F.col("name").alias("match"), F.col("clean_name").alias("cb")),
+            "match",
+        )
+    )
+    jaro = (
+        score_pairs(cand, [("jw_distance", "jaro_distance", "ca", "cb")])
+        .withColumn("jw_distance", F.round("jw_distance", 6))
+        .where(F.col("jw_distance") <= 0.15)
+        .select("name", "match", "jw_distance")
+    )
+    human = (
+        match_first_name(prepped.select("name"))
+        .select(
+            F.least("name", "match").alias("_n"),
+            F.greatest("name", "match").alias("_m"),
+            F.round("human_jw_distance", 6).alias("human_jw_distance"),
+            F.round("human_cosine_similarity", 6).alias("human_cosine_similarity"),
+            "initials_match",
+        )
+        .withColumnsRenamed({"_n": "name", "_m": "match"})
+        .dropDuplicates(["name", "match"])
+    )
+    master = merge_score_channels(cosine, shared, jaro, human, prepped, weights)
+    return master.select(
+        "name",
+        "match",
+        F.col("shared_words").cast("bigint").alias("shared_words"),
+        F.round("cosine_similarity", 6).alias("cosine_similarity"),
+        F.round("jw_distance", 6).alias("jw_distance"),
+        F.round("human_jw_distance", 6).alias("human_jw_distance"),
+        F.round("human_cosine_similarity", 6).alias("human_cosine_similarity"),
+        # nullable boolean stringifies as None/nan asymmetrically across
+        # engines' pandas exports; INT (1/0/NULL) normalizes the hash
+        F.col("initials_match").cast("int").alias("initials_match"),
+        F.round("token_sim", 6).alias("token_sim"),
+    )
+
+
+def o_match_master() -> str:
+    from .contract import duck_bag_cte
+    from .contract_human import duck_human_extract_cte
+
+    extract = duck_human_extract_cte("(SELECT name FROM pm)")
+    return f"""
+WITH {duck_prepped_cte()},
+pm AS MATERIALIZED (SELECT * FROM prepped),
+prepped_nc AS MATERIALIZED (
+  SELECT name,
+         {duck_bag_cte("name", "bag_nc", drop_common=False, comma_to_space=False)}
+  FROM (SELECT DISTINCT name FROM names_all)
+),
+nonempty AS MATERIALIZED (SELECT * FROM pm WHERE clean_name <> ''),
+toks AS (
+  SELECT name, token FROM (
+    SELECT name, unnest(bag_clean) AS token FROM nonempty
+  ) WHERE token <> ''
+),
+tcounts AS (SELECT name, token, count(*) AS cnt FROM toks GROUP BY name, token),
+nn AS (SELECT count(DISTINCT name) AS n_names FROM nonempty),
+docfreq AS (SELECT token, count(*) AS df FROM tcounts GROUP BY token),
+w AS MATERIALIZED (
+  SELECT c.name, c.token, c.cnt * ln(1 + nn.n_names / df.df) AS w
+  FROM tcounts c, nn JOIN docfreq df ON c.token = df.token
+),
+norms AS MATERIALIZED (SELECT name, sqrt(sum(w * w)) AS nrm FROM w GROUP BY name),
+cosine_ch AS (
+  SELECT p.name, p.match, round(p.dot / na.nrm / nb.nrm, 6) AS cosine_similarity
+  FROM (
+    SELECT a.name AS name, b.name AS match, sum(a.w * b.w) AS dot
+    FROM w a JOIN w b ON a.token = b.token AND a.name < b.name
+    GROUP BY a.name, b.name
+  ) p
+  JOIN norms na ON p.name = na.name
+  JOIN norms nb ON p.match = nb.name
+  WHERE round(p.dot / na.nrm / nb.nrm, 6) >= 0.4
+),
+sidx AS MATERIALIZED (
+  SELECT DISTINCT name, token FROM (
+    SELECT name, unnest(bag_shared) AS token FROM pm
+  ) WHERE token <> ''
+),
+shared_ch AS (
+  SELECT a.name AS name, b.name AS match, CAST(count(*) AS BIGINT) AS shared_words
+  FROM sidx a JOIN sidx b ON a.token = b.token AND a.name < b.name
+  GROUP BY a.name, b.name
+),
+keyed AS MATERIALIZED (
+  SELECT name, clean_name, bag_clean[1] AS bkey FROM nonempty
+  WHERE len(bag_clean) > 0 AND bag_clean[1] <> ''
+),
+jaro_ch AS (
+  SELECT a.name AS name, b.name AS match,
+         round(1 - jaro_similarity(a.clean_name, b.clean_name), 6) AS jw_distance
+  FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.name < b.name
+  WHERE round(1 - jaro_similarity(a.clean_name, b.clean_name), 6) <= 0.15
+),
+{extract},
+humans AS MATERIALIZED (
+  SELECT *,
+    (len(string_split(first_name, ' ')) > 1 OR length(first_name) < 4) AS check_initials
+  FROM extracted
+  WHERE NOT company AND last_name IS NOT NULL
+),
+hp AS (
+  SELECT least(a.name, b.name) AS name, greatest(a.name, b.name) AS match,
+         a.first_name AS fa, b.first_name AS fb,
+         a.initials AS ia, b.initials AS ib,
+         a.check_initials AS ka, b.check_initials AS kb
+  FROM humans a JOIN humans b ON a.last_name = b.last_name AND a.name < b.name
+),
+hchars AS MATERIALIZED (
+  SELECT name, match, side, c, count(*) AS cnt FROM (
+    SELECT name, match, 'a' AS side,
+           unnest(list_transform(generate_series(1, length(fa)), i -> substr(fa, i, 1))) AS c
+    FROM hp WHERE fa IS NOT NULL AND fa <> ''
+    UNION ALL
+    SELECT name, match, 'b' AS side,
+           unnest(list_transform(generate_series(1, length(fb)), i -> substr(fb, i, 1))) AS c
+    FROM hp WHERE fb IS NOT NULL AND fb <> ''
+  ) GROUP BY name, match, side, c
+),
+hcos AS (
+  SELECT a.name, a.match,
+         sum(a.cnt * b.cnt) /
+         sqrt((SELECT sum(cnt * cnt) FROM hchars x WHERE x.name = a.name AND x.match = a.match AND x.side = 'a')) /
+         sqrt((SELECT sum(cnt * cnt) FROM hchars y WHERE y.name = a.name AND y.match = a.match AND y.side = 'b'))
+         AS cos_sim
+  FROM hchars a JOIN hchars b
+    ON a.name = b.name AND a.match = b.match AND a.c = b.c
+   AND a.side = 'a' AND b.side = 'b'
+  GROUP BY a.name, a.match
+),
+human_ch AS (
+  SELECT hp.name, hp.match,
+    CASE WHEN fa IS NULL OR fb IS NULL OR fa = '' OR fb = '' THEN NULL
+         ELSE round(1 - jaro_similarity(fa, fb), 6) END AS human_jw_distance,
+    round(coalesce(hcos.cos_sim,
+          CASE WHEN fa IS NOT NULL AND fb IS NOT NULL AND fa <> '' AND fb <> ''
+               THEN 0.0 END), 6) AS human_cosine_similarity,
+    CASE WHEN coalesce(ka, FALSE) OR coalesce(kb, FALSE)
+         THEN list_sort(list_distinct(ia)) = list_sort(list_distinct(ib))
+         ELSE FALSE END AS initials_match
+  FROM hp LEFT JOIN hcos ON hp.name = hcos.name AND hp.match = hcos.match
+),
+merged AS MATERIALIZED (
+  SELECT name, match,
+    max(shared_words) AS shared_words,
+    max(cosine_similarity) AS cosine_similarity,
+    max(jw_distance) AS jw_distance,
+    max(human_jw_distance) AS human_jw_distance,
+    max(human_cosine_similarity) AS human_cosine_similarity,
+    max(initials_match) AS initials_match
+  FROM (
+    SELECT name, match, CAST(NULL AS BIGINT) AS shared_words, cosine_similarity,
+           CAST(NULL AS DOUBLE) AS jw_distance, CAST(NULL AS DOUBLE) AS human_jw_distance,
+           CAST(NULL AS DOUBLE) AS human_cosine_similarity, CAST(NULL AS BOOLEAN) AS initials_match
+    FROM cosine_ch
+    UNION ALL
+    SELECT name, match, shared_words, NULL, NULL, NULL, NULL, NULL FROM shared_ch
+    UNION ALL
+    SELECT name, match, NULL, NULL, jw_distance, NULL, NULL, NULL FROM jaro_ch
+    UNION ALL
+    SELECT name, match, NULL, NULL, NULL, human_jw_distance,
+           human_cosine_similarity, initials_match
+    FROM human_ch
+  ) WHERE name <> match
+  GROUP BY name, match
+),
+bf1 AS MATERIALIZED (
+  SELECT m.name, m.match,
+    coalesce(m.shared_words,
+             CAST(len(list_intersect(a.bag_nc, b.bag_nc)) AS BIGINT)) AS shared_words,
+    m.cosine_similarity, m.jw_distance, m.human_jw_distance,
+    m.human_cosine_similarity, m.initials_match
+  FROM merged m
+  LEFT JOIN prepped_nc a ON m.name = a.name
+  LEFT JOIN prepped_nc b ON m.match = b.name
+),
+cos_bf AS (
+  SELECT m.name, m.match,
+         sum(a.w * b.w) / any_value(na.nrm) / any_value(nb.nrm) AS cbf
+  FROM bf1 m
+  JOIN w a ON m.name = a.name
+  JOIN w b ON m.match = b.name AND a.token = b.token
+  JOIN norms na ON m.name = na.name
+  JOIN norms nb ON m.match = nb.name
+  WHERE m.cosine_similarity IS NULL
+  GROUP BY m.name, m.match
+),
+bf3 AS MATERIALIZED (
+  SELECT b1.name, b1.match, b1.shared_words,
+    coalesce(b1.cosine_similarity, cb.cbf, 0.0) AS cosine_similarity,
+    coalesce(b1.jw_distance, 1 - jaro_similarity(b1.name, b1.match)) AS jw_distance,
+    b1.human_jw_distance, b1.human_cosine_similarity, b1.initials_match
+  FROM bf1 b1
+  LEFT JOIN cos_bf cb ON b1.name = cb.name AND b1.match = cb.match
+),
+ts_a AS (
+  SELECT m.name, m.match, t.tok_a FROM bf3 m
+  JOIN (SELECT name, unnest(bag_clean) AS tok_a FROM pm) t ON m.name = t.name
+),
+ts_cross AS MATERIALIZED (
+  SELECT ts_a.name, ts_a.match, ts_a.tok_a, t.tok_b,
+         jaro_similarity(ts_a.tok_a, t.tok_b) AS s
+  FROM ts_a JOIN (SELECT name AS match, unnest(bag_clean) AS tok_b FROM pm) t
+    ON ts_a.match = t.match
+),
+ts_best_a AS (
+  SELECT name, match, tok_a, max(s) AS bs FROM ts_cross GROUP BY name, match, tok_a
+),
+ts_ab AS (SELECT name, match, avg(bs) AS m FROM ts_best_a GROUP BY name, match),
+ts_best_b AS (
+  SELECT name, match, tok_b, max(s) AS bs FROM ts_cross GROUP BY name, match, tok_b
+),
+ts_ba AS (SELECT name, match, avg(bs) AS m FROM ts_best_b GROUP BY name, match),
+ts AS (
+  SELECT a.name, a.match, least(a.m, b.m) AS token_sim
+  FROM ts_ab a JOIN ts_ba b ON a.name = b.name AND a.match = b.match
+)
+SELECT b.name, b.match, b.shared_words,
+  round(b.cosine_similarity, 6) AS cosine_similarity,
+  round(b.jw_distance, 6) AS jw_distance,
+  round(b.human_jw_distance, 6) AS human_jw_distance,
+  round(b.human_cosine_similarity, 6) AS human_cosine_similarity,
+  CAST(b.initials_match AS INT) AS initials_match,
+  round(ts.token_sim, 6) AS token_sim
+FROM bf3 b LEFT JOIN ts ON b.name = ts.name AND b.match = ts.match
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1076,6 +1344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_round2": q_group_round2,
     "notifications": q_notifications,
     "events_window": q_events_window,
+    "match_master": q_match_master,
 }
 
 ORACLES: dict[str, str] = {
@@ -1100,4 +1369,5 @@ ORACLES: dict[str, str] = {
     "group_round2": o_group_round2(),
     "notifications": o_notifications(),
     "events_window": o_events_window(),
+    "match_master": o_match_master(),
 }

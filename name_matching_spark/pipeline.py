@@ -163,6 +163,33 @@ def match_names(
         .select("name", "match", "jw_distance")
     )
 
+    master = merge_score_channels(cosine, shared, jaro, human, prepped, weights)
+    dropped = dropped_shared.withColumn("channel", F.lit("shared_word")).unionByName(
+        dropped_jaro.withColumnsRenamed({"bkey": "token"}).withColumn(
+            "channel", F.lit("jaro")
+        )
+    )
+    return MatchNamesResult(
+        master=master, dropped_blocks=dropped, name_parts=name_parts
+    )
+
+
+def merge_score_channels(
+    cosine: DataFrame,
+    shared: DataFrame,
+    jaro: DataFrame,
+    human: DataFrame,
+    prepped: DataFrame,
+    weights: DataFrame,
+) -> DataFrame:
+    """The 4-way channel merge + set-oriented score backfill — the heart of
+    match_names (match_names.R:716-808), factored out so the contract layer
+    can drive the REAL merge/backfill code path with oracle-expressible
+    channel inputs (contract_extras.q_match_master).
+
+    ``prepped`` must carry (name, bag_clean, bag_nc); ``weights`` is the
+    persisted token_weights table the cosine channel used.
+    """
     # --- 4-way full outer merge (match_names.R:716-722) ---------------------
     # Each channel contributes DISTINCT (name, match) rows and disjoint
     # score columns, so the 4-way full outer join is equivalent to
@@ -254,18 +281,10 @@ def match_names(
         bag_col="bag", out="token_sim",
     )
 
-    master = master.select(
+    return master.select(
         "name", "match", "shared_words", "cosine_similarity", "jw_distance",
         "human_jw_distance", "human_cosine_similarity", "initials_match",
         "token_sim",
-    )
-    dropped = dropped_shared.withColumn("channel", F.lit("shared_word")).unionByName(
-        dropped_jaro.withColumnsRenamed({"bkey": "token"}).withColumn(
-            "channel", F.lit("jaro")
-        )
-    )
-    return MatchNamesResult(
-        master=master, dropped_blocks=dropped, name_parts=name_parts
     )
 
 
