@@ -1322,6 +1322,118 @@ FROM bf3 b LEFT JOIN ts ON b.name = ts.name AND b.match = ts.match
 """
 
 
+# ---------------------------------------------------------------------------
+# batch-incremental resolution (pipeline.incremental_resolve) — the
+# extend-don't-recompute refresh path. The injected matcher is the
+# shared-word channel only (oracle-expressible end to end); the scoring
+# machinery has its own oracles (match_master). What this hash-checks is
+# the incremental logic itself: the deterministic 2/3:1/3 corpus split, the
+# |new|+|clusters| universe (reps only, the default contract), the union of
+# accepted edges with re-asserted prior member→rep edges, drift merges of
+# prior clusters through transitive closure, and the dense re-numbering.
+# ---------------------------------------------------------------------------
+
+def q_incremental_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .contract import _spark_prepped
+    from .operators.blocking import shared_word_pairs
+    from .operators.cc import name_clusters
+    from .pipeline import MatchNamesResult, incremental_resolve, prepare_names
+
+    prepped = _spark_prepped(spark, sf_dir)
+    h = (F.expr("CAST(conv(substr(md5(name), 1, 15), 16, 10) AS BIGINT)") % 3)
+    prior_names = prepped.where(h != 0).select("name")
+    new_names = prepped.where(h == 0).select("name")
+
+    def shared_only_match(universe, **kw):
+        u = prepare_names(universe)
+        scored, dropped = shared_word_pairs(u, "bag_shared", max_block=1_000_000)
+        master = scored.withColumn(
+            "jw_distance", F.lit(None).cast("double")
+        ).withColumn("cosine_similarity", F.lit(None).cast("double"))
+        return MatchNamesResult(master=master, dropped_blocks=dropped)
+
+    prior_mm = shared_only_match(prior_names)
+    prior = name_clusters(
+        prior_mm.master.where(F.col("shared_words") >= 2).select("name", "match")
+    )
+    out = incremental_resolve(new_names, prior, match_fn=shared_only_match)
+    return out.select(
+        "name", F.col("cluster").cast("bigint").alias("cluster"), "group_name"
+    )
+
+
+def o_incremental_resolve() -> str:
+    return f"""
+WITH RECURSIVE {duck_prepped_cte()},
+hsplit AS MATERIALIZED (
+  SELECT name, ('0x' || substr(md5(name), 1, 15))::BIGINT % 3 AS h FROM prepped
+),
+sidx AS MATERIALIZED (
+  SELECT DISTINCT name, token FROM (
+    SELECT name, unnest(bag_shared) AS token FROM prepped
+  ) WHERE token <> ''
+),
+p_edges AS MATERIALIZED (
+  SELECT a.name AS u, b.name AS v
+  FROM sidx a
+  JOIN sidx b ON a.token = b.token AND a.name < b.name
+  JOIN hsplit ha ON a.name = ha.name AND ha.h <> 0
+  JOIN hsplit hb ON b.name = hb.name AND hb.h <> 0
+  GROUP BY a.name, b.name
+  HAVING count(*) >= 2
+),
+p_sym AS MATERIALIZED (
+  SELECT u, v FROM p_edges UNION SELECT v, u FROM p_edges
+),
+p_reach(n, m) AS (
+  SELECT n, n FROM (SELECT DISTINCT u AS n FROM p_sym)
+  UNION
+  SELECT r.n, s.v FROM p_reach r JOIN p_sym s ON s.u = r.m
+),
+p_comp AS MATERIALIZED (
+  SELECT n AS name, min(m) AS group_name FROM p_reach GROUP BY n
+),
+universe AS MATERIALIZED (
+  SELECT name FROM hsplit WHERE h = 0
+  UNION
+  SELECT DISTINCT group_name AS name FROM p_comp
+),
+u_edges AS MATERIALIZED (
+  SELECT a.name AS u, b.name AS v
+  FROM sidx a
+  JOIN sidx b ON a.token = b.token AND a.name < b.name
+  JOIN universe ua ON a.name = ua.name
+  JOIN universe ub ON b.name = ub.name
+  GROUP BY a.name, b.name
+  HAVING count(*) >= 2
+),
+all_edges AS MATERIALIZED (
+  SELECT u, v FROM u_edges
+  UNION
+  SELECT name AS u, group_name AS v FROM p_comp WHERE name <> group_name
+),
+f_sym AS MATERIALIZED (
+  SELECT u, v FROM all_edges UNION SELECT v, u FROM all_edges
+),
+f_reach(n, m) AS (
+  SELECT n, n FROM (SELECT DISTINCT u AS n FROM f_sym)
+  UNION
+  SELECT r.n, s.v FROM f_reach r JOIN f_sym s ON s.u = r.m
+),
+f_comp AS MATERIALIZED (
+  SELECT n AS name, min(m) AS group_name FROM f_reach GROUP BY n
+),
+ranked AS (
+  SELECT group_name,
+         CAST(dense_rank() OVER (ORDER BY group_name) AS BIGINT) AS cluster
+  FROM (SELECT DISTINCT group_name FROM f_comp)
+)
+SELECT c.name, r.cluster, c.group_name
+FROM f_comp c JOIN ranked r ON c.group_name = r.group_name
+WHERE c.name <> c.group_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1345,6 +1457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "notifications": q_notifications,
     "events_window": q_events_window,
     "match_master": q_match_master,
+    "incremental_resolve": q_incremental_resolve,
 }
 
 ORACLES: dict[str, str] = {
@@ -1370,4 +1483,5 @@ ORACLES: dict[str, str] = {
     "notifications": o_notifications(),
     "events_window": o_events_window(),
     "match_master": o_match_master(),
+    "incremental_resolve": o_incremental_resolve(),
 }

@@ -295,6 +295,7 @@ def incremental_resolve(
     cosine_accept: float = 0.4,
     shared_words_accept: int = 2,
     member_sample_k: int = 0,
+    match_fn=None,
     **match_kwargs,
 ) -> DataFrame:
     """Batch-incremental resolution — the re-run path when NEW names arrive
@@ -344,7 +345,12 @@ def incremental_resolve(
             .select("name")
         )
         universe = universe.unionByName(members).distinct()
-    mm = match_names(universe, **match_kwargs)
+    # ``match_fn`` swaps the matcher (default: the full 4-channel
+    # match_names). The contract layer injects an oracle-expressible
+    # matcher so the universe/prior-edge/re-cluster logic here is
+    # hash-checked independently of the scoring machinery (which has its
+    # own oracles — match_master et al.).
+    mm = (match_fn or match_names)(universe, **match_kwargs)
     accepted = mm.master.where(
         (F.col("jw_distance") <= jaro_accept)
         | (F.col("cosine_similarity") >= cosine_accept)
