@@ -65,6 +65,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — ad-hoc conf injection for perf
+    # probes (e.g. cache compression, GC threads) without code edits
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, env_conf.split(";")):
+        k, _, v = item.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
