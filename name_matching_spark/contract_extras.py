@@ -1333,7 +1333,7 @@ FROM bf3 b LEFT JOIN ts ON b.name = ts.name AND b.match = ts.match
 # prior clusters through transitive closure, and the dense re-numbering.
 # ---------------------------------------------------------------------------
 
-def q_incremental_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_incremental(spark: SparkSession, sf_dir: str, member_sample_k: int) -> DataFrame:
     from .contract import _spark_prepped
     from .operators.blocking import shared_word_pairs
     from .operators.cc import name_clusters
@@ -1356,13 +1356,34 @@ def q_incremental_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = name_clusters(
         prior_mm.master.where(F.col("shared_words") >= 2).select("name", "match")
     )
-    out = incremental_resolve(new_names, prior, match_fn=shared_only_match)
+    out = incremental_resolve(
+        new_names, prior, match_fn=shared_only_match,
+        member_sample_k=member_sample_k,
+    )
     return out.select(
         "name", F.col("cluster").cast("bigint").alias("cluster"), "group_name"
     )
 
 
-def o_incremental_resolve() -> str:
+def q_incremental_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_incremental(spark, sf_dir, member_sample_k=0)
+
+
+def q_incremental_resolve_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-aware variant: K exceeds every cluster size, so the
+    deterministic per-cluster sample is ALL non-representative members and
+    the universe is |new| + every prior name — the one member_sample_k
+    setting whose sampled set is order-independent and therefore
+    SQL-expressible (the production K<n sample orders by xxhash64). The
+    member-channel plumbing (window sample, universe union, transitive
+    carry through member→rep edges) is the code under test."""
+    return _q_incremental(spark, sf_dir, member_sample_k=1_000_000)
+
+
+def o_incremental_resolve(members: bool = False) -> str:
+    members_sql = (
+        "\n  UNION\n  SELECT name FROM p_comp WHERE name <> group_name" if members else ""
+    )
     return f"""
 WITH RECURSIVE {duck_prepped_cte()},
 hsplit AS MATERIALIZED (
@@ -1396,7 +1417,7 @@ p_comp AS MATERIALIZED (
 universe AS MATERIALIZED (
   SELECT name FROM hsplit WHERE h = 0
   UNION
-  SELECT DISTINCT group_name AS name FROM p_comp
+  SELECT DISTINCT group_name AS name FROM p_comp{members_sql}
 ),
 u_edges AS MATERIALIZED (
   SELECT a.name AS u, b.name AS v
@@ -1458,6 +1479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window": q_events_window,
     "match_master": q_match_master,
     "incremental_resolve": q_incremental_resolve,
+    "incremental_resolve_members": q_incremental_resolve_members,
 }
 
 ORACLES: dict[str, str] = {
@@ -1484,4 +1506,5 @@ ORACLES: dict[str, str] = {
     "events_window": o_events_window(),
     "match_master": o_match_master(),
     "incremental_resolve": o_incremental_resolve(),
+    "incremental_resolve_members": o_incremental_resolve(members=True),
 }
