@@ -128,16 +128,11 @@ def _run_bench_once(sf_dir: str, cpus: str) -> dict:
     }
 
 
-def run_scoring_job(cpus: str, n_pairs: int) -> dict:
-    """Candidate-pair scoring throughput at local[cpus] — the stage that
-    dominates a 10^12-doc run (blocking joins are shuffles; scoring is
-    CPU). Deterministic synthetic pairs; all four string kernels."""
+def _synthetic_pairs(spark, cpus: str, n_pairs: int):
+    """Deterministic synthetic candidate-pair table, persisted + counted
+    (input materialization outside any timed window)."""
     from pyspark.sql import functions as F
 
-    from name_matching_spark.operators.pairs import score_pairs
-    from name_matching_spark.session import get_spark
-
-    spark = get_spark(master=f"local[{cpus}]")
     n_names = max(int(n_pairs**0.5), 64)
     names = spark.range(n_names).select(
         F.concat(
@@ -160,7 +155,54 @@ def run_scoring_job(cpus: str, n_pairs: int) -> dict:
         .repartition(int(cpus) * int(os.environ.get("SPARK_GRAFT_SCORE_PARTS_PER_CPU", "2")))
         .persist()
     )
-    n = pairs.count()  # materialize input outside the timed window
+    return pairs, pairs.count()
+
+
+def run_noop_job(cpus: str, n_pairs: int) -> dict:
+    """The scoring job's TRANSPORT ceiling: identical input and mapInPandas
+    shape, but the scorer writes a constant — what the cache-scan → Arrow →
+    Python → Arrow → agg pipe alone can move at local[cpus]. Measured flat
+    (or slightly negative) from 8 to 32 cores on this box: per-JOB fixed
+    latency plus the driver-side stage machinery do not parallelize, which
+    Amdahl-bounds ANY kernel's observable single-box 8→32 job ratio (see
+    BENCH/BASELINE.md round-4 section)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from name_matching_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]")
+    pairs, n = _synthetic_pairs(spark, cpus, n_pairs)
+    schema = StructType(list(pairs.schema.fields) + [StructField("s", DoubleType())])
+
+    def noop(batches):
+        for pdf in batches:
+            pdf["s"] = 1.0
+            yield pdf
+
+    out = pairs.mapInPandas(noop, schema=schema)
+    out.agg({"s": "sum"}).collect()  # warm
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out.agg({"s": "sum"}).collect()
+        wall = min(wall, time.time() - t0)
+    spark.stop()
+    return {"cpus": int(cpus), "pairs": n, "wall_sec": round(wall, 2),
+            "pairs_per_sec": round(n / wall, 1)}
+
+
+def run_scoring_job(cpus: str, n_pairs: int) -> dict:
+    """Candidate-pair scoring throughput at local[cpus] — the stage that
+    dominates a 10^12-doc run (blocking joins are shuffles; scoring is
+    CPU). Deterministic synthetic pairs; all four string kernels."""
+    from pyspark.sql import functions as F
+
+    from name_matching_spark.operators.pairs import score_pairs
+    from name_matching_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]")
+    pairs, n = _synthetic_pairs(spark, cpus, n_pairs)
     specs = [
         ("jaro", "jaro_distance", "na", "nb"),
         ("jw", "jaro_winkler_similarity", "na", "nb"),
@@ -224,6 +266,9 @@ if __name__ == "__main__":
     if "--score-job" in sys.argv:
         n = int(sys.argv[sys.argv.index("--score-job") + 1])
         print(json.dumps(run_scoring_job(cpus, n)))
+    elif "--noop-job" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--noop-job") + 1])
+        print(json.dumps(run_noop_job(cpus, n)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
     else:
