@@ -43,10 +43,14 @@ def run_bench(sf_dir: str, cpus: str, repeats: int | None = None) -> dict:
     # the steady state a long-lived cluster session sees. The warmup scale
     # is derived from the configured testdata root, not hardcoded.
     warmup_dir = os.path.join(os.path.dirname(os.path.normpath(sf_dir)), "sf0.001")
-    try:
-        _run_bench_once(warmup_dir if os.path.isdir(warmup_dir) else sf_dir, cpus)
-    except Exception:
-        pass  # warmup is best-effort; the timed runs are self-sufficient
+    if os.path.isdir(warmup_dir):
+        try:
+            _run_bench_once(warmup_dir, cpus)
+        except Exception:
+            pass  # warmup is best-effort; the timed runs are self-sufficient
+    # no sf0.001 sibling: skip the warmup rather than silently running a
+    # FULL-scale suite as a "primer" (the warmup's job is a ~10 s JIT/
+    # codegen/worker-spawn pass, not a fourth benchmark run)
     best = None
     runs: list[float] = []
     for _ in range(repeats):

@@ -154,7 +154,18 @@ class CheckpointManager:
         within buckets so sort-merge joins skip their sort.
         """
         dep_fps = [self.results[d].fingerprint for d in (depends_on or [])]
-        fp = fingerprint(name, params, *dep_fps)
+        # bucket layout is part of the stage identity: a checkpoint written
+        # unbucketed (or with different bucket columns / counts) must NOT
+        # satisfy a resume that expects zero-Exchange joins on this layout —
+        # a silent plain-parquet hit would permanently diverge fresh vs
+        # resumed physical plans.
+        layout = (
+            {"bucket_by": list(bucket_by), "sort_by": list(sort_by or []),
+             "num_buckets": self.num_buckets}
+            if bucket_by
+            else None
+        )
+        fp = fingerprint(name, params, layout, *dep_fps)
         out_dir = os.path.join(self.root, name)
         manifest = self._load_manifest()
         entry = manifest.get(name)

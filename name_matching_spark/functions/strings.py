@@ -277,7 +277,9 @@ def _jaro_chunk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
     # match window: floor(max(la,lb)/2) - 1, clamped at 0
     win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)  # (n,)
-    if Lb <= 64 and A.dtype == np.uint8 and _JARO_PM_TABLE:
+    if Lb <= 64 and A.dtype == np.uint8 and _JARO_PM_TABLE and _LITTLE_ENDIAN:
+        # (endian gate: _greedy_packed's used-bit unpack views uint64 words
+        # as little-endian bytes, same assumption as the packed path)
         # experiment path (env SPARK_GRAFT_JARO_PM=1): ~25% less DRAM
         # traffic per chunk, a bit more single-core time — for probing the
         # bandwidth-bound 32-core cell

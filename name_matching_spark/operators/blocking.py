@@ -44,19 +44,25 @@ _MERSENNE = (1 << 31) - 1
 # DataFrames persisted by pairs_from_index, pending release. The pair
 # outputs are lazy, so the caches must outlive this function — but a
 # long-lived session would otherwise accumulate a full inverted-index
-# copy in executor storage per pair channel per run (ADVICE r3). The
-# pipeline releases them at its materialization barrier, once the channel
-# subtrees have actually been evaluated.
+# copy in executor storage per pair channel per run (ADVICE r3). Callers
+# that own a materialization barrier (match_names) thread their OWN
+# ``registry`` list through and release just that — a process-global
+# registry would let one pipeline's barrier unpersist the still-pending
+# caches of a concurrent pipeline in the same session (driver threads are
+# a supported Spark pattern). The module-level list is only the fallback
+# for registry-less callers (one-shot contract queries, tests).
 _PENDING_CACHES: list[DataFrame] = []
 
 
-def release_block_caches() -> None:
-    """Unpersist every index/hot-key cache registered by
-    ``pairs_from_index``. Call AFTER the consuming pair DataFrames are
-    materialized (checkpoint/collect/write) — match_names does this at its
-    merged-master checkpoint barrier."""
-    while _PENDING_CACHES:
-        df = _PENDING_CACHES.pop()
+def release_block_caches(registry: list[DataFrame] | None = None) -> None:
+    """Unpersist every index/hot-key cache in ``registry`` (default: the
+    module-level fallback registry). Call AFTER the consuming pair
+    DataFrames are materialized (checkpoint/collect/write) — match_names
+    does this at its merged-master checkpoint barrier with its own run-
+    scoped registry."""
+    target = _PENDING_CACHES if registry is None else registry
+    while target:
+        df = target.pop()
         try:
             df.unpersist()
         except Exception:
@@ -93,6 +99,7 @@ def pairs_from_index(
     name_col: str = "name",
     max_block: int = 2000,
     drop_above: int | None = None,
+    registry: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join the (name, key) index into canonical candidate pairs.
 
@@ -132,7 +139,7 @@ def pairs_from_index(
         .where(F.col("_bs") > max_block)
         .persist()
     )
-    _PENDING_CACHES.extend([idx, hot])
+    (_PENDING_CACHES if registry is None else registry).extend([idx, hot])
     # one job: decides the plan shape and populates both caches
     has_hot = not hot.isEmpty()
 
@@ -211,6 +218,7 @@ def shared_word_pairs(
     bag_col: str,
     name_col: str = "name",
     max_block: int = 2000,
+    registry: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared-word matcher (reference match_names.R:500-524): canonical pairs
     whose bags intersect, scored by the number of distinct shared tokens.
@@ -220,7 +228,7 @@ def shared_word_pairs(
     duplicate-free after normalization, and the value is only an RF feature.
     """
     idx = token_index(names, bag_col, name_col)
-    pairs, dropped = pairs_from_index(idx, "token", name_col, max_block)
+    pairs, dropped = pairs_from_index(idx, "token", name_col, max_block, registry=registry)
     scored = pairs.groupBy("name", "match").agg(
         F.countDistinct("token").alias("shared_words")
     )

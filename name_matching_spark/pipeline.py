@@ -77,7 +77,11 @@ def prepare_names(names: DataFrame, name_col: str = "name") -> DataFrame:
 
 
 def jaro_candidates(
-    names: DataFrame, max_block: int, lsh_hashes: int, lsh_bands: int
+    names: DataFrame,
+    max_block: int,
+    lsh_hashes: int,
+    lsh_bands: int,
+    registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Blocked candidate pairs for the Jaro channel + dropped hot keys."""
     nonempty = names.where(F.col("clean_name") != "")
@@ -91,7 +95,7 @@ def jaro_candidates(
         nonempty, "bag_clean", num_hashes=lsh_hashes, bands=lsh_bands
     ).select("name", F.concat(F.lit("lsh:"), F.col("band_key")).alias("bkey"))
     index = ft.unionByName(mp).unionByName(lsh).distinct()
-    pairs, dropped = pairs_from_index(index, "bkey", max_block=max_block)
+    pairs, dropped = pairs_from_index(index, "bkey", max_block=max_block, registry=registry)
     return pairs.select("name", "match").distinct(), dropped
 
 
@@ -141,13 +145,20 @@ def match_names(
         weights=weights,
     )
 
+    # run-scoped cache registry: this match_names invocation's persisted
+    # index/hot-key tables, released at OUR merge barrier (a process-global
+    # registry would let a concurrent pipeline's barrier unpersist them)
+    block_caches: list = []
+
     # --- channel 3: shared word (match_names.R:643-654)
     shared, dropped_shared = shared_word_pairs(
-        prepped, "bag_shared", max_block=max_block
+        prepped, "bag_shared", max_block=max_block, registry=block_caches
     )
 
     # --- channel 4: Jaro on cleaned names (match_names.R:660-674)
-    cand, dropped_jaro = jaro_candidates(prepped, max_block, lsh_hashes, lsh_bands)
+    cand, dropped_jaro = jaro_candidates(
+        prepped, max_block, lsh_hashes, lsh_bands, registry=block_caches
+    )
     cand = (
         cand.join(prepped.select("name", F.col("clean_name").alias("clean_a")), "name")
         .join(
@@ -163,7 +174,9 @@ def match_names(
         .select("name", "match", "jw_distance")
     )
 
-    master = merge_score_channels(cosine, shared, jaro, human, prepped, weights)
+    master = merge_score_channels(
+        cosine, shared, jaro, human, prepped, weights, block_caches=block_caches
+    )
     dropped = dropped_shared.withColumn("channel", F.lit("shared_word")).unionByName(
         dropped_jaro.withColumnsRenamed({"bkey": "token"}).withColumn(
             "channel", F.lit("jaro")
@@ -181,6 +194,7 @@ def merge_score_channels(
     human: DataFrame,
     prepped: DataFrame,
     weights: DataFrame,
+    block_caches: list | None = None,
 ) -> DataFrame:
     """The 4-way channel merge + set-oriented score backfill — the heart of
     match_names (match_names.R:716-808), factored out so the contract layer
@@ -233,10 +247,12 @@ def merge_score_channels(
     master = materialize(merged, eager=True)
     # the channel subtrees are now fully evaluated: release the inverted-
     # index caches pairs_from_index pinned (long-lived sessions would
-    # otherwise accumulate one full index copy per channel per run)
+    # otherwise accumulate one full index copy per channel per run).
+    # ``block_caches`` is the CALLER's run-scoped registry; None falls back
+    # to the module-level registry for registry-less channel builders.
     from .operators.blocking import release_block_caches
 
-    release_block_caches()
+    release_block_caches(block_caches)
 
     # --- set-oriented backfill (match_names.R:729-808) ---------------------
     # shared_words: recompute with drop_common_words=FALSE for missing pairs

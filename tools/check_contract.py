@@ -49,6 +49,9 @@ def main(argv: list[str]) -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: check_contract.py [--json OUT.json] [query ...]")
+            return 2
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     only = argv
@@ -68,14 +71,24 @@ def main(argv: list[str]) -> int:
     failures = []
     results: dict[str, dict] = {}
 
-    def record(name, sdf=None, odf=None, err=None):
+    def record(name, sdf=None, odf=None, err=None, hashes=None):
+        # rows-only queries (no oracle) record null match flags — false
+        # would be indistinguishable from a failed parity check. ``hashes``
+        # carries the (spark, oracle) value hashes already computed by the
+        # caller so the dominant cost (sort + sha256 of every row) is paid
+        # once per side, not twice.
+        if sdf is None or odf is None:
+            flags = {"rows_match": None, "schema_match": None, "hash_match": None}
+        else:
+            hs, ho = hashes if hashes else (value_hash(sdf), value_hash(odf))
+            flags = {
+                "rows_match": len(sdf) == len(odf),
+                "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+                "hash_match": sorted(sdf.columns) == sorted(odf.columns)
+                and hs == ho,
+            }
         results[name] = {
-            "rows_match": sdf is not None and odf is not None and len(sdf) == len(odf),
-            "schema_match": sdf is not None and odf is not None
-            and sorted(sdf.columns) == sorted(odf.columns),
-            "hash_match": sdf is not None and odf is not None
-            and sorted(sdf.columns) == sorted(odf.columns)
-            and value_hash(sdf) == value_hash(odf),
+            **flags,
             "spark_rows": None if sdf is None else len(sdf),
             "oracle_rows": None if odf is None else len(odf),
             "err": err,
@@ -101,13 +114,18 @@ def main(argv: list[str]) -> int:
             failures.append(name)
             record(name, sdf=sdf, err=f"oracle: {e}")
             continue
-        record(name, sdf=sdf, odf=odf)
+        hashes = (
+            (value_hash(sdf), value_hash(odf))
+            if sorted(sdf.columns) == sorted(odf.columns)
+            else ("", "")
+        )
+        record(name, sdf=sdf, odf=odf, hashes=hashes)
         problems = []
         if len(sdf) != len(odf):
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
-        elif value_hash(sdf) != value_hash(odf):
+        elif hashes[0] != hashes[1]:
             problems.append("value hash mismatch")
             # diff aid
             cols = sorted(sdf.columns)
