@@ -35,6 +35,32 @@ def _rand_name(rng: random.Random) -> str:
     return s
 
 
+def test_human_clean_name_parity_fuzz(spark):
+    # the human-mode clean_name (no ≥3-char token filter, no hyphen-run
+    # dash separator) backs the human_extract oracle chain — fuzz it too
+    from name_matching_spark.contract import duck_clean_expr
+    from name_matching_spark.functions.normalize import with_clean_name
+
+    rng = random.Random(20260818)
+    names = sorted({_rand_name(rng) for _ in range(800)} - {""})
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    out = with_clean_name(df, "name", "clean_name", drop_common=False, human=True)
+    got = {r["name"]: r["clean_name"] for r in out.collect()}
+
+    con = duckdb.connect()
+    vals = ",".join("('" + n.replace("'", "''") + "')" for n in names)
+    sql = f"""
+    SELECT name,
+           {duck_clean_expr("name", "clean_name", drop_common=False, human=True)}
+    FROM (VALUES {vals}) AS t(name)
+    """
+    want = dict(con.execute(sql).fetchall())
+    mismatches = {n: (got[n], want[n]) for n in names if got[n] != want[n]}
+    assert not mismatches, f"{len(mismatches)} mismatches, e.g. " + str(
+        list(mismatches.items())[:5]
+    )
+
+
 @pytest.mark.parametrize("drop_common", [True, False])
 def test_clean_name_and_bag_parity_fuzz(spark, drop_common):
     from name_matching_spark.contract import duck_bag_cte, duck_clean_expr
