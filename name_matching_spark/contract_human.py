@@ -23,7 +23,7 @@ from .constants import (
     PO_REGEX,
     SURNAMES,
 )
-from .contract import CORPUS_CTE, _corpus_df, _register, _sq
+from .contract import CORPUS_CTE, DUCK_H, SPARK_H, _corpus_df, _register, _sq
 
 # ---------------------------------------------------------------------------
 # inline fixtures (identical in both engines)
@@ -666,6 +666,86 @@ FROM names
 """
 
 
+def q_cutoff_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 cutoff selection (pre_screen_names.R:88-114): the exact
+    distributed depth-1 Gini split + the precision-calibrated auto-accept
+    bar, over a deterministic scored/labeled table built from ``orders``
+    (score = md5 bucket / 1000; P(label=1 | score) = score via a second,
+    independent md5 draw — so the split is interior and cumulative
+    precision declines smoothly from the top)."""
+    from .operators.prescreen import accept_threshold_df, depth1_split_df
+
+    h = SPARK_H.format(x="cast(o_orderkey as string)")
+    h2 = SPARK_H.format(x="concat(cast(o_orderkey as string),'L')")
+    scored = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(f"{h} % 1000 as hb", f"{h2} % 1000 as hb2")
+        .selectExpr(
+            "round(hb / 1000.0, 6) as rf_prob",
+            "cast(case when hb2 < hb then 1 else 0 end as double) as keep",
+        )
+    )
+    return depth1_split_df(scored).crossJoin(
+        accept_threshold_df(scored, target_precision=0.9).select(
+            F.round("accept", 6).alias("accept_thr")
+        )
+    )
+
+
+def o_cutoff_split() -> str:
+    h = DUCK_H.format(x="o_orderkey::VARCHAR")
+    h2 = DUCK_H.format(x="o_orderkey::VARCHAR||'L'")
+    # the Gini expression mirrors depth1_split_df token-for-token (exact
+    # integer counts, one IEEE-double expression, round 12) so the argmin
+    # and the midpoint agree bit-for-bit across engines
+    return f"""
+WITH pts AS (
+  SELECT round(hb / 1000.0, 6) AS s,
+         CASE WHEN hb2 < hb THEN 1 ELSE 0 END AS lbl
+  FROM (SELECT {h} % 1000 AS hb, {h2} % 1000 AS hb2 FROM orders)
+), g AS (
+  SELECT s, count(*)::BIGINT AS n, sum(lbl)::BIGINT AS n1 FROM pts GROUP BY s
+), tot AS (SELECT sum(n)::BIGINT AS nt, sum(n1)::BIGINT AS nt1 FROM g),
+cum AS (
+  SELECT s,
+    sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+    sum(n1) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl1,
+    lead(s) OVER (ORDER BY s) AS s_next
+  FROM g
+), cand AS (
+  SELECT s, s_next,
+    round((CAST(nl AS DOUBLE) * (1.0
+          - (CAST(nl1 AS DOUBLE)/CAST(nl AS DOUBLE))
+            * (CAST(nl1 AS DOUBLE)/CAST(nl AS DOUBLE))
+          - (CAST(nl-nl1 AS DOUBLE)/CAST(nl AS DOUBLE))
+            * (CAST(nl-nl1 AS DOUBLE)/CAST(nl AS DOUBLE)))
+        + CAST(nt-nl AS DOUBLE) * (1.0
+          - (CAST(nt1-nl1 AS DOUBLE)/CAST(nt-nl AS DOUBLE))
+            * (CAST(nt1-nl1 AS DOUBLE)/CAST(nt-nl AS DOUBLE))
+          - (CAST((nt-nl)-(nt1-nl1) AS DOUBLE)/CAST(nt-nl AS DOUBLE))
+            * (CAST((nt-nl)-(nt1-nl1) AS DOUBLE)/CAST(nt-nl AS DOUBLE)))
+      ) / CAST(nt AS DOUBLE), 12) AS impurity
+  FROM cum, tot
+  WHERE s_next IS NOT NULL
+), best AS (
+  SELECT round((s + s_next) / 2.0, 6) AS cutoff
+  FROM cand ORDER BY impurity, s LIMIT 1
+), acc_g AS (
+  SELECT s, sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+            sum(CASE WHEN lbl <> 1 THEN 1 ELSE 0 END)::BIGINT AS fp
+  FROM pts GROUP BY s
+), acc AS (
+  SELECT round(coalesce(min(s), 1.0), 6) AS accept_thr FROM (
+    SELECT s,
+      sum(tp) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+      sum(fp) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp
+    FROM acc_g) _x
+  WHERE CAST(ctp AS DOUBLE) / CAST(ctp + cfp AS DOUBLE) >= 0.9
+)
+SELECT cutoff, accept_thr FROM best, acc
+"""
+
+
 GEO_CACHE = [
     ("123 MAIN ST, MIDLAND, TX 79701", "CACHED:123-MAIN"),
     ("DRAWER 99, HOUSTON, TX 77002", "CACHED:DRAWER-99"),
@@ -957,6 +1037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keep_rules": q_keep_rules,
     "importance_distance": q_importance_distance,
     "percentiles": q_percentiles,
+    "cutoff_split": q_cutoff_split,
     "geocode_cache": q_geocode_cache,
     "pre_screen_rules": q_pre_screen_rules,
     "review_summary": q_review_summary,
@@ -972,6 +1053,7 @@ ORACLES: dict[str, str] = {
     "keep_rules": o_keep_rules(),
     "importance_distance": o_importance_distance(),
     "percentiles": o_percentiles(),
+    "cutoff_split": o_cutoff_split(),
     "geocode_cache": o_geocode_cache(),
     "pre_screen_rules": o_pre_screen_rules(),
     "review_summary": o_review_summary(),

@@ -173,6 +173,119 @@ def rf_predict(df: DataFrame, assembler, model) -> DataFrame:
     return out.drop("_features", *[f"_f_{c}" for c in _RF_FEATURES])
 
 
+def depth1_split_df(
+    df: DataFrame, score_col: str = "rf_prob", label_col: str = "keep"
+) -> DataFrame:
+    """Exact depth-1 decision-tree split as a one-row DataFrame (cutoff).
+
+    The reference routes reviewer attention with a depth-1 rpart tree on the
+    RF score (pre_screen_names.R:88-114). MLlib's DecisionTreeClassifier
+    approximates the split through maxBins quantile binning and reports a
+    bin boundary; this is the EXACT version — every observed score is a
+    candidate, the weighted-Gini argmin is computed with one groupBy + one
+    ordered window (fully distributed, no driver collect), and the returned
+    cutoff is the midpoint between the winning score and the next distinct
+    score (so ``<`` vs ``≤`` downstream cannot flip a boundary row).
+
+    Determinism: candidate counts are exact longs; the Gini arithmetic is
+    a fixed IEEE-double expression identical to the DuckDB oracle's, and
+    ties break on the smaller score. Degenerate inputs (one distinct score
+    or one class) return 0.5.
+    """
+    g = (
+        df.where(F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(label_col).cast("bigint")).alias("n1"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand = (
+        g.select(
+            "s",
+            F.sum("n").over(w).alias("nl"),
+            F.sum("n1").over(w).alias("nl1"),
+            F.lead("s").over(Window.orderBy("s")).alias("s_next"),
+        )
+        .crossJoin(
+            F.broadcast(
+                g.agg(
+                    F.sum("n").alias("nt"), F.sum("n1").alias("nt1")
+                )
+            )
+        )
+        .where(F.col("s_next").isNotNull())  # right side must be non-empty
+        .selectExpr(
+            "s",
+            "s_next",
+            # weighted Gini impurity of the two children; all counts are
+            # exact integers, the double expression mirrors the DuckDB
+            # oracle token-for-token so both engines round identically
+            """round(
+                 (cast(nl as double) * (1.0
+                    - (cast(nl1 as double)/cast(nl as double))
+                      * (cast(nl1 as double)/cast(nl as double))
+                    - (cast(nl-nl1 as double)/cast(nl as double))
+                      * (cast(nl-nl1 as double)/cast(nl as double)))
+                + cast(nt-nl as double) * (1.0
+                    - (cast(nt1-nl1 as double)/cast(nt-nl as double))
+                      * (cast(nt1-nl1 as double)/cast(nt-nl as double))
+                    - (cast((nt-nl)-(nt1-nl1) as double)/cast(nt-nl as double))
+                      * (cast((nt-nl)-(nt1-nl1) as double)/cast(nt-nl as double)))
+                 ) / cast(nt as double), 12) as impurity""",
+        )
+    )
+    # argmin by (impurity, s): min over a struct orders lexicographically by
+    # field — exactly the tie-break rule — and degenerates to NULL on an
+    # empty candidate set (≤1 distinct score) → default 0.5
+    return cand.agg(F.min(F.struct("impurity", "s", "s_next")).alias("b")).select(
+        F.coalesce(
+            F.round((F.col("b.s") + F.col("b.s_next")) / F.lit(2.0), 6), F.lit(0.5)
+        ).alias("cutoff")
+    )
+
+
+def accept_threshold_df(
+    df: DataFrame,
+    target_precision: float,
+    score_col: str = "rf_prob",
+    label_col: str = "keep",
+) -> DataFrame:
+    """Precision-calibrated auto-accept bar as a one-row DataFrame (accept).
+
+    The smallest score at which cumulative precision over the descending
+    score order is ≥ ``target_precision``, with ties accumulated as a whole
+    group before the precision test (a tie group either clears the bar
+    together or not at all). Distributed: one groupBy + one descending
+    cumulative window; no driver-side sweep. Returns 1.0 (accept nothing
+    automatically) when no prefix clears the bar.
+    """
+    g = (
+        df.where(F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.sum((F.col(label_col).cast("double") == 1.0).cast("bigint")).alias("tp"),
+            F.sum((F.col(label_col).cast("double") != 1.0).cast("bigint")).alias("fp"),
+        )
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ok = (
+        g.select(
+            "s", F.sum("tp").over(w).alias("ctp"), F.sum("fp").over(w).alias("cfp")
+        )
+        .where(
+            F.col("ctp").cast("double")
+            / (F.col("ctp") + F.col("cfp")).cast("double")
+            >= F.lit(target_precision)
+        )
+        .agg(F.coalesce(F.min("s"), F.lit(1.0)).alias("accept"))
+    )
+    return ok
+
+
 def rf_thresholds(
     train: DataFrame,
     num_trees: int = 500,
@@ -183,61 +296,28 @@ def rf_thresholds(
 
     ``cutoff`` is the reference's reviewer-routing rule: a depth-1 decision
     tree on rf_prob (pre_screen_names.R:88-114) — below it, auto-reject.
+    Computed by ``depth1_split_df`` (exact distributed Gini argmin, not
+    MLlib's binned approximation; hash-oracled by the ``cutoff_split``
+    contract query).
 
     ``accept_threshold`` is the AUTO-ACCEPT bar: the smallest held-out
-    rf_prob at which cumulative precision is ≥ ``target_precision``. The
-    reference sends everything above the cutoff to HUMAN review; replacing
-    that review with "accept at the same cutoff" was measured (sf1 stress
-    run) to admit borderline cross-entity pairs whose transitive closure
-    collapses cluster precision to ~0.01. Acceptance must clear a stricter,
-    precision-calibrated bar; the band between the two thresholds stays
-    keep=NULL — the review queue (jobs/review_job.py emits it).
-
-    The labeled sample is human-made and therefore small by construction
-    (the reference's was ~1 000 pairs), so the held-out scores fit on the
-    driver."""
-    from pyspark.ml.classification import DecisionTreeClassifier
-    from pyspark.ml.feature import VectorAssembler
-
+    rf_prob at which cumulative precision is ≥ ``target_precision``
+    (``accept_threshold_df``). The reference sends everything above the
+    cutoff to HUMAN review; replacing that review with "accept at the same
+    cutoff" was measured (sf1 stress run) to admit borderline cross-entity
+    pairs whose transitive closure collapses cluster precision to ~0.01.
+    Acceptance must clear a stricter, precision-calibrated bar; the band
+    between the two thresholds stays keep=NULL — the review queue
+    (jobs/review_job.py emits it)."""
     labeled = train.where(F.col("keep").isNotNull())
     tr, te = labeled.randomSplit([0.8, 0.2], seed=seed)
     assembler, model = train_rf(tr, num_trees=num_trees, seed=seed)
-    scored = rf_predict(te, assembler, model)
-    va = VectorAssembler(inputCols=["rf_prob"], outputCol="_p")
-    dt = DecisionTreeClassifier(
-        featuresCol="_p", labelCol="keep", maxDepth=1, seed=seed
+    scored = rf_predict(te, assembler, model).select("rf_prob", "keep").cache()
+    cutoff = float(depth1_split_df(scored).first()["cutoff"])
+    accept = float(
+        accept_threshold_df(scored, target_precision).first()["accept"]
     )
-    dt_model = dt.fit(
-        va.transform(scored.withColumn("keep", F.col("keep").cast("double")))
-    )
-    # depth-1 tree: root split threshold; fall back to 0.5 on a degenerate tree
-    try:
-        cutoff = float(dt_model._call_java("rootNode").split().threshold())
-    except Exception:
-        cutoff = 0.5
-
-    rows = sorted(
-        (
-            (float(r["rf_prob"]), float(r["keep"]))
-            for r in scored.select("rf_prob", "keep").collect()
-        ),
-        reverse=True,
-    )
-    accept = 1.0  # degenerate default: accept nothing automatically
-    tp = fp = 0
-    best = None
-    i = 0
-    while i < len(rows):
-        j = i
-        while j < len(rows) and rows[j][0] == rows[i][0]:  # tie group
-            tp += rows[j][1] == 1.0
-            fp += rows[j][1] != 1.0
-            j += 1
-        if tp + fp > 0 and tp / (tp + fp) >= target_precision:
-            best = rows[i][0]
-        i = j
-    if best is not None:
-        accept = best
+    scored.unpersist()
     return cutoff, max(accept, cutoff)
 
 

@@ -20,7 +20,16 @@ join work — hash-partitioned across executors by the state store (RocksDB
 provider in production). State size per key is O(#reps on that key), not
 O(#names): assigned names are NOT retained. Kill the query and restart
 with the same checkpoint and the representative table is restored exactly
-(tests/test_streaming.py)."""
+(tests/test_streaming.py).
+
+Two interchangeable implementations share the assignment core
+(``_assign_names``): ``start_incremental_assign`` on
+``applyInPandasWithState`` (runs on any state store provider), and
+``start_incremental_assign_tws`` on Spark 4's
+``transformWithStateInPandas`` (RocksDB-only), whose ``initialState``
+hook seeds a restarted query's state from the assignment log — including
+reps created by the batch ``reconcile_overflow`` — so reconciled entities
+are matchable in-stream immediately after a restart."""
 
 from __future__ import annotations
 
@@ -64,66 +73,93 @@ _STATE_SCHEMA = StructType([StructField("reps", StringType())])
 _REP_SEP = "\x1f"  # unit separator — cannot occur in cleaned names
 
 
-def _assign_fn(jaro_threshold: float, max_reps_per_key: int):
+def _assign_names(
+    block_key: str,
+    names: list[str],
+    reps: list[str],
+    jaro_threshold: float,
+    max_reps_per_key: int,
+) -> list[dict[str, Any]]:
+    """The assignment core shared by both stateful implementations: score
+    each new name against the key's representatives with the batch Jaro
+    kernel; join the closest within threshold, else become a new rep (if
+    the rep set has room) or route to the overflow side-output. Mutates
+    ``reps`` in place so the caller can persist the updated state.
+
+    ``max_reps_per_key`` caps GROWTH only: a state seeded above the cap
+    (restart with reconciled singletons folded in — see
+    ``start_incremental_assign_tws``) keeps matching against every seeded
+    rep; it just admits no further new ones."""
+    import numpy as np
+
+    from ..functions.strings import jaro_distance
+
+    out_rows: list[dict[str, Any]] = []
+    for nm in sorted(set(names)):
+        if reps:
+            d = jaro_distance(np.array([nm] * len(reps), dtype=object),
+                              np.array(reps, dtype=object))
+            best = int(d.argmin())
+            if float(d[best]) <= jaro_threshold:
+                out_rows.append(
+                    {
+                        "block_key": block_key,
+                        "name": nm,
+                        "cluster_rep": reps[best],
+                        "jaro_distance": float(d[best]),
+                        "is_new_cluster": False,
+                        "overflow": False,
+                    }
+                )
+                continue
+        if len(reps) >= max_reps_per_key:
+            # rep set full: route to the logged overflow side-output
+            # instead of growing state without bound on a hot key
+            out_rows.append(
+                {
+                    "block_key": block_key,
+                    "name": nm,
+                    "cluster_rep": None,
+                    "jaro_distance": None,
+                    "is_new_cluster": False,
+                    "overflow": True,
+                }
+            )
+            continue
+        reps.append(nm)
+        out_rows.append(
+            {
+                "block_key": block_key,
+                "name": nm,
+                "cluster_rep": nm,
+                "jaro_distance": 0.0,
+                "is_new_cluster": True,
+                "overflow": False,
+            }
+        )
+    return out_rows
+
+
+def _assign_fn(jaro_threshold: float, max_reps_per_key: int, seed_bc=None):
     def assign(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from ..functions.strings import jaro_distance
-
         (block_key,) = key
         reps: list[str] = []
         if state.exists:
             (packed,) = state.get
             if packed:
                 reps = packed.split(_REP_SEP)
-        out_rows: list[dict[str, Any]] = []
+        elif seed_bc is not None:
+            # first time this key is seen by THIS query: fold in the seeded
+            # rep universe (a restart carrying reconciled reps forward)
+            reps = list(seed_bc.value.get(block_key, ()))
         names: list[str] = []
         for pdf in pdfs:
             names.extend(pdf["name"].tolist())
-        for nm in sorted(set(names)):
-            if reps:
-                d = jaro_distance(np.array([nm] * len(reps), dtype=object),
-                                  np.array(reps, dtype=object))
-                best = int(d.argmin())
-                if float(d[best]) <= jaro_threshold:
-                    out_rows.append(
-                        {
-                            "block_key": block_key,
-                            "name": nm,
-                            "cluster_rep": reps[best],
-                            "jaro_distance": float(d[best]),
-                            "is_new_cluster": False,
-                            "overflow": False,
-                        }
-                    )
-                    continue
-            if len(reps) >= max_reps_per_key:
-                # rep set full: route to the logged overflow side-output
-                # instead of growing state without bound on a hot key
-                out_rows.append(
-                    {
-                        "block_key": block_key,
-                        "name": nm,
-                        "cluster_rep": None,
-                        "jaro_distance": None,
-                        "is_new_cluster": False,
-                        "overflow": True,
-                    }
-                )
-                continue
-            reps.append(nm)
-            out_rows.append(
-                {
-                    "block_key": block_key,
-                    "name": nm,
-                    "cluster_rep": nm,
-                    "jaro_distance": 0.0,
-                    "is_new_cluster": True,
-                    "overflow": False,
-                }
-            )
+        out_rows = _assign_names(
+            block_key, names, reps, jaro_threshold, max_reps_per_key
+        )
         state.update((_REP_SEP.join(reps),))
         yield pd.DataFrame(out_rows, columns=[f.name for f in ASSIGN_SCHEMA.fields])
 
@@ -138,6 +174,7 @@ def start_incremental_assign(
     jaro_threshold: float = 0.15,
     trigger_available_now: bool = True,
     max_reps_per_key: int = 512,
+    initial_reps: DataFrame | None = None,
 ):
     """Stream documents(doc_id, spans) → per-blocking-key incremental
     cluster assignment; appends per-batch assignment partials under
@@ -147,7 +184,49 @@ def start_incremental_assign(
     no rep on a FULL key is emitted with ``overflow=True`` and a NULL rep
     (query it via ``read_overflow``) instead of growing the state store —
     the periodic batch re-resolve reconciles those names. State stays
-    O(min(reps, cap)) and per-batch scoring cost is bounded on hot keys."""
+    O(min(reps, cap)) and per-batch scoring cost is bounded on hot keys.
+
+    ``initial_reps`` (a (block_key, rep) DataFrame, typically
+    ``rep_state(...)``) seeds per-key state on a FRESH-checkpoint restart,
+    folding reconciled reps back in so near-duplicates of reconciled
+    entities match in-stream. applyInPandasWithState has no initial-state
+    hook, so the seed travels as a BROADCAST map consulted the first time
+    each key appears — fine for rep universes that fit in executor memory
+    (reps are capped per key; ~10⁷ reps ≈ hundreds of MB). Beyond that,
+    use ``start_incremental_assign_tws``: Spark 4's transformWithState
+    distributes the seed through the state store itself (needs the
+    ``protobuf`` package). A seeded key may exceed ``max_reps_per_key``
+    (cap + reconciled singletons); the cap still blocks further growth."""
+    seed_bc = None
+    if initial_reps is not None:
+        seed_map: dict[str, tuple] = {}
+        for r in initial_reps.select("block_key", "rep").collect():
+            seed_map.setdefault(r["block_key"], []).append(r["rep"])
+        seed_bc = spark.sparkContext.broadcast(
+            {k: tuple(sorted(set(v))) for k, v in seed_map.items()}
+        )
+    names = _blocked_name_stream(spark, source_dir)
+    assigned = names.groupBy("block_key").applyInPandasWithState(
+        _assign_fn(jaro_threshold, max_reps_per_key, seed_bc),
+        outputStructType=ASSIGN_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _start_assign_writer(
+        assigned, table_dir, checkpoint_dir, trigger_available_now
+    )
+
+
+def _blocked_name_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """documents(doc_id, spans) stream → (block_key, name).
+
+    Blocking key = double metaphone of the first surviving token — the
+    batch Jaro channel's phonetic key, so first-token typos (MERKAVDI /
+    MERKAVDO) land on the same state partition. (A raw first-token key
+    would silently split them into separate clusters.)"""
+    from ..operators.phonetic import with_metaphone_key
+
     docs = (
         spark.readStream.schema(SPANS_DDL)
         .option("maxFilesPerTrigger", 8)
@@ -158,27 +237,22 @@ def start_incremental_assign(
         .where((F.col("s.kind") == "text") & F.col("s.text").isNotNull())
         .select(F.col("s.text").alias("raw_name"))
     )
-    # blocking key = double metaphone of the first surviving token — the
-    # batch Jaro channel's phonetic key, so first-token typos (MERKAVDI /
-    # MERKAVDO) land on the same state partition. (A raw first-token key
-    # would silently split them into separate clusters.)
-    from ..operators.phonetic import with_metaphone_key
-
     names = (
         with_clean_name(names, "raw_name", "name", drop_common=True)
         .where(F.col("name") != "")
         .withColumn("_bag", F.split("name", " "))
     )
-    names = with_metaphone_key(names, "_bag", out="block_key").select(
+    return with_metaphone_key(names, "_bag", out="block_key").select(
         "block_key", "name"
     )
-    assigned = names.groupBy("block_key").applyInPandasWithState(
-        _assign_fn(jaro_threshold, max_reps_per_key),
-        outputStructType=ASSIGN_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+
+
+def _start_assign_writer(
+    assigned: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool,
+):
     out_dir = os.path.join(table_dir, "assignments")
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -194,6 +268,126 @@ def start_incremental_assign(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+class _AssignProcessor:
+    """StatefulProcessor for ``transformWithStateInPandas`` — the Spark-4
+    stateful API whose ``initialState`` lets a RESTARTED query seed its
+    per-key rep state from the assignment log (including reps created by
+    ``reconcile_overflow``), closing the re-overflow loop the
+    applyInPandasWithState path can only converge through repeated
+    reconciles. Defined lazily as a subclass because the base class import
+    requires pyspark ≥ 4.0."""
+
+    def __new__(cls, jaro_threshold: float, max_reps_per_key: int):
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class P(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._reps = handle.getValueState("reps", _STATE_SCHEMA)
+
+            def handleInitialState(self, key, initialState, timerValues) -> None:
+                reps = sorted(set(initialState["rep"].dropna().tolist()))
+                if reps:
+                    self._reps.update((_REP_SEP.join(reps),))
+
+            def handleInputRows(self, key, rows, timerValues):
+                (block_key,) = key
+                reps: list[str] = []
+                if self._reps.exists():
+                    (packed,) = self._reps.get()
+                    if packed:
+                        reps = packed.split(_REP_SEP)
+                names: list[str] = []
+                for pdf in rows:
+                    names.extend(pdf["name"].tolist())
+                out_rows = _assign_names(
+                    block_key, names, reps, jaro_threshold, max_reps_per_key
+                )
+                self._reps.update((_REP_SEP.join(reps),))
+                yield pd.DataFrame(
+                    out_rows, columns=[f.name for f in ASSIGN_SCHEMA.fields]
+                )
+
+            def close(self) -> None:
+                pass
+
+        return P()
+
+
+def rep_state(spark: SparkSession, table_dir: str) -> DataFrame:
+    """(block_key, rep) — the current representative universe from the
+    assignment log, the seed for a state-carrying restart. Includes reps
+    created by ``reconcile_overflow`` (they carry is_new_cluster=True)."""
+    return (
+        read_assignments(spark, table_dir)
+        .where(F.col("is_new_cluster"))
+        .select("block_key", F.col("name").alias("rep"))
+    )
+
+
+def start_incremental_assign_tws(
+    spark: SparkSession,
+    source_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    jaro_threshold: float = 0.15,
+    trigger_available_now: bool = True,
+    max_reps_per_key: int = 512,
+    initial_reps: DataFrame | None = None,
+):
+    """``transformWithStateInPandas`` twin of ``start_incremental_assign``.
+
+    Same assignment semantics (shared ``_assign_names`` core), plus
+    ``initial_reps``: a (block_key, rep) DataFrame — typically
+    ``rep_state(spark, table_dir)`` — folded into per-key state when the
+    query starts on a FRESH checkpoint. This closes the documented
+    applyInPandasWithState caveat: after a reconcile, restart with
+    ``initial_reps=rep_state(...)`` and arrivals near a reconciled
+    singleton match it IN the stream instead of deterministically
+    re-overflowing until the next batch reconcile.
+
+    A seeded key may hold more than ``max_reps_per_key`` reps (cap +
+    reconciled singletons); the cap still blocks further GROWTH, so state
+    stays bounded by cap + #reconciles. Unlike the broadcast seed on the
+    applyInPandasWithState path, the seed here is distributed through the
+    state store itself — no driver-side materialization — making this the
+    at-scale restart path.
+
+    Requires the RocksDB state store (set here; transformWithState does
+    not run on the HDFS-backed provider) and the ``protobuf`` package
+    (the transformWithState state protocol is protobuf-encoded; import-
+    gated per environment — absent in this sandbox, so the covering test
+    is ``importorskip``-guarded and the broadcast-seeded twin carries the
+    in-sandbox evidence)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "transformWithStateInPandas needs the `protobuf` package "
+            "(pyspark's state-server protocol); install it or use "
+            "start_incremental_assign(initial_reps=...) — same semantics, "
+            "broadcast-distributed seed"
+        ) from e
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    names = _blocked_name_stream(spark, source_dir)
+    init = initial_reps.groupBy("block_key") if initial_reps is not None else None
+    assigned = names.groupBy("block_key").transformWithStateInPandas(
+        statefulProcessor=_AssignProcessor(jaro_threshold, max_reps_per_key),
+        outputStructType=ASSIGN_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+        initialState=init,
+    )
+    return _start_assign_writer(
+        assigned, table_dir, checkpoint_dir, trigger_available_now
+    )
 
 
 def read_assignments(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -249,13 +443,16 @@ def reconcile_overflow(
     last, so reconciled rows win regardless of sign.
 
     State-loop caveat (documented): a reconciled SINGLETON rep does not
-    re-enter the streaming query's per-key state (the key is at cap), so
-    a later stream arrival near that rep deterministically re-overflows —
-    and the NEXT reconcile assigns it to the same reconciled rep, because
-    reconciled singletons carry ``is_new_cluster=True`` and are therefore
-    part of the rep universe this pass scores against. Eventually
-    consistent, never silent (tests/test_streaming.py::
-    test_reconcile_reoverflow_converges).
+    re-enter the RUNNING streaming query's per-key state (the key is at
+    cap), so a later stream arrival near that rep deterministically
+    re-overflows — and the NEXT reconcile assigns it to the same
+    reconciled rep, because reconciled singletons carry
+    ``is_new_cluster=True`` and are therefore part of the rep universe
+    this pass scores against. Eventually consistent, never silent
+    (tests/test_streaming.py::test_reconcile_reoverflow_converges). The
+    strong variant: restart via ``start_incremental_assign_tws`` with
+    ``initial_reps=rep_state(...)`` and the reconciled reps re-enter state
+    directly, so the near-duplicate matches in-stream.
 
     Returns the number of names reconciled. Scale shape: one blocked
     equi-join (overflow ⋈ reps on block_key) + mapInPandas scoring — the

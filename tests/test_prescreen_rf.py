@@ -99,3 +99,41 @@ def test_percentiles_approx_close_to_exact(spark):
     e70, e90 = count_percentiles(counts, exact=True)
     a70, a90 = count_percentiles(counts, exact=False)
     assert abs(a70 - e70) <= 1.0 and abs(a90 - e90) <= 1.0
+
+
+def test_depth1_split_exact(spark):
+    # perfectly separated classes: the Gini argmin is the gap between the
+    # two clusters, and the returned cutoff is the midpoint of that gap
+    from name_matching_spark.operators.prescreen import depth1_split_df
+
+    df = spark.createDataFrame(
+        [(0.1, 0.0), (0.2, 0.0), (0.8, 1.0), (0.9, 1.0)], "rf_prob double, keep double"
+    )
+    assert depth1_split_df(df).first()["cutoff"] == 0.5
+
+    # degenerate: one distinct score -> no candidate split -> default 0.5
+    one = spark.createDataFrame([(0.7, 1.0), (0.7, 0.0)], "rf_prob double, keep double")
+    assert depth1_split_df(one).first()["cutoff"] == 0.5
+
+    # pure-label data: every split has zero gain; the tie-break is the
+    # SMALLEST candidate score -> midpoint of the first two distinct scores
+    pure = spark.createDataFrame(
+        [(0.1, 1.0), (0.4, 1.0), (0.6, 1.0)], "rf_prob double, keep double"
+    )
+    assert depth1_split_df(pure).first()["cutoff"] == 0.25
+
+
+def test_accept_threshold_tie_groups(spark):
+    from name_matching_spark.operators.prescreen import accept_threshold_df
+
+    # descending order: 0.9 (tp), 0.8 tie group (tp, fp) -> cumulative
+    # precision at 0.8 is 2/3 < 0.75; at 0.9 it is 1.0 -> accept = 0.9
+    df = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 1.0), (0.8, 0.0), (0.5, 0.0)],
+        "rf_prob double, keep double",
+    )
+    assert accept_threshold_df(df, 0.75).first()["accept"] == 0.9
+    # a looser bar admits the whole 0.8 tie group (2/3 >= 0.6)
+    assert accept_threshold_df(df, 0.6).first()["accept"] == 0.8
+    # an unreachable bar accepts nothing automatically
+    assert accept_threshold_df(df, 1.1).first()["accept"] == 1.0
