@@ -684,8 +684,14 @@ def q_cutoff_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(hb / 1000.0, 6) as rf_prob",
             "cast(case when hb2 < hb then 1 else 0 end as double) as keep",
         )
+        .cache()  # three consumer branches (split window/totals, accept)
     )
-    return depth1_split_df(scored).crossJoin(
+    # display rounding happens HERE, not in the operator (the operator
+    # returns the unrounded midpoint so it can never cross an adjacent
+    # score); scores are 3-decimal buckets, so round 6 is lossless
+    return depth1_split_df(scored).select(
+        F.round("cutoff", 6).alias("cutoff")
+    ).crossJoin(
         accept_threshold_df(scored, target_precision=0.9).select(
             F.round("accept", 6).alias("accept_thr")
         )
@@ -726,7 +732,7 @@ cum AS (
             * (CAST((nt-nl)-(nt1-nl1) AS DOUBLE)/CAST(nt-nl AS DOUBLE)))
       ) / CAST(nt AS DOUBLE), 12) AS impurity
   FROM cum, tot
-  WHERE s_next IS NOT NULL
+  WHERE s_next IS NOT NULL AND nt1 > 0 AND nt1 < nt
 ), best AS (
   SELECT round((s + s_next) / 2.0, 6) AS cutoff
   FROM cand ORDER BY impurity, s LIMIT 1

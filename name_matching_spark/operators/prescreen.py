@@ -183,14 +183,23 @@ def depth1_split_df(
     approximates the split through maxBins quantile binning and reports a
     bin boundary; this is the EXACT version — every observed score is a
     candidate, the weighted-Gini argmin is computed with one groupBy + one
-    ordered window (fully distributed, no driver collect), and the returned
-    cutoff is the midpoint between the winning score and the next distinct
-    score (so ``<`` vs ``≤`` downstream cannot flip a boundary row).
+    ordered window, and the returned cutoff is the UNROUNDED midpoint
+    between the winning score and the next distinct score (so ``<`` vs
+    ``≤`` downstream cannot flip a boundary row; rounding the midpoint
+    could push it past an adjacent score when two distinct scores differ
+    by less than the rounding step — display rounding belongs to callers).
+
+    Scale shape: the groupBy reduces the input to its DISTINCT scores
+    before the cumulative scan, which then runs in one task (a global
+    ordered window) — exactly right for labeled training samples
+    (~10²-10³ rows by construction; the reference's was ~1 000 pairs). An
+    exact split over millions of distinct scores would need a two-pass
+    distributed prefix sum instead; out of scope here.
 
     Determinism: candidate counts are exact longs; the Gini arithmetic is
     a fixed IEEE-double expression identical to the DuckDB oracle's, and
-    ties break on the smaller score. Degenerate inputs (one distinct score
-    or one class) return 0.5.
+    ties break on the smaller score. Degenerate inputs (one distinct
+    score, or a single class — no split has positive gain) return 0.5.
     """
     g = (
         df.where(F.col(label_col).isNotNull())
@@ -215,7 +224,13 @@ def depth1_split_df(
                 )
             )
         )
-        .where(F.col("s_next").isNotNull())  # right side must be non-empty
+        # right side must be non-empty, and one-class inputs (nt1 = 0 or
+        # nt1 = nt) have zero gain everywhere — no meaningful split
+        .where(
+            F.col("s_next").isNotNull()
+            & (F.col("nt1") > 0)
+            & (F.col("nt1") < F.col("nt"))
+        )
         .selectExpr(
             "s",
             "s_next",
@@ -238,10 +253,10 @@ def depth1_split_df(
     )
     # argmin by (impurity, s): min over a struct orders lexicographically by
     # field — exactly the tie-break rule — and degenerates to NULL on an
-    # empty candidate set (≤1 distinct score) → default 0.5
+    # empty candidate set (≤1 distinct score, or one class) → default 0.5
     return cand.agg(F.min(F.struct("impurity", "s", "s_next")).alias("b")).select(
         F.coalesce(
-            F.round((F.col("b.s") + F.col("b.s_next")) / F.lit(2.0), 6), F.lit(0.5)
+            (F.col("b.s") + F.col("b.s_next")) / F.lit(2.0), F.lit(0.5)
         ).alias("cutoff")
     )
 
@@ -257,9 +272,11 @@ def accept_threshold_df(
     The smallest score at which cumulative precision over the descending
     score order is ≥ ``target_precision``, with ties accumulated as a whole
     group before the precision test (a tie group either clears the bar
-    together or not at all). Distributed: one groupBy + one descending
-    cumulative window; no driver-side sweep. Returns 1.0 (accept nothing
-    automatically) when no prefix clears the bar.
+    together or not at all). One groupBy (reduces to distinct scores) +
+    one descending cumulative window over that reduced set — same scale
+    shape and caveat as ``depth1_split_df``; no driver-side sweep.
+    Returns 1.0 (accept nothing automatically) when no prefix clears the
+    bar.
     """
     g = (
         df.where(F.col(label_col).isNotNull())

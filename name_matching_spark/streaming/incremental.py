@@ -270,62 +270,68 @@ def _start_assign_writer(
     return writer.start()
 
 
-class _AssignProcessor:
-    """StatefulProcessor for ``transformWithStateInPandas`` — the Spark-4
-    stateful API whose ``initialState`` lets a RESTARTED query seed its
-    per-key rep state from the assignment log (including reps created by
-    ``reconcile_overflow``), closing the re-overflow loop the
+def _make_assign_processor(jaro_threshold: float, max_reps_per_key: int):
+    """Build the StatefulProcessor for ``transformWithStateInPandas`` —
+    the Spark-4 stateful API whose ``initialState`` lets a RESTARTED query
+    seed its per-key rep state from the assignment log (including reps
+    created by ``reconcile_overflow``), closing the re-overflow loop the
     applyInPandasWithState path can only converge through repeated
-    reconciles. Defined lazily as a subclass because the base class import
-    requires pyspark ≥ 4.0."""
+    reconciles. A factory (class defined inside) because the base-class
+    import requires pyspark ≥ 4.0."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
 
-    def __new__(cls, jaro_threshold: float, max_reps_per_key: int):
-        from pyspark.sql.streaming.stateful_processor import (
-            StatefulProcessor,
-            StatefulProcessorHandle,
-        )
+    class P(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._reps = handle.getValueState("reps", _STATE_SCHEMA)
 
-        class P(StatefulProcessor):
-            def init(self, handle: StatefulProcessorHandle) -> None:
-                self._reps = handle.getValueState("reps", _STATE_SCHEMA)
-
-            def handleInitialState(self, key, initialState, timerValues) -> None:
-                reps = sorted(set(initialState["rep"].dropna().tolist()))
-                if reps:
-                    self._reps.update((_REP_SEP.join(reps),))
-
-            def handleInputRows(self, key, rows, timerValues):
-                (block_key,) = key
-                reps: list[str] = []
-                if self._reps.exists():
-                    (packed,) = self._reps.get()
-                    if packed:
-                        reps = packed.split(_REP_SEP)
-                names: list[str] = []
-                for pdf in rows:
-                    names.extend(pdf["name"].tolist())
-                out_rows = _assign_names(
-                    block_key, names, reps, jaro_threshold, max_reps_per_key
-                )
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            reps = sorted(set(initialState["rep"].dropna().tolist()))
+            if reps:
                 self._reps.update((_REP_SEP.join(reps),))
-                yield pd.DataFrame(
-                    out_rows, columns=[f.name for f in ASSIGN_SCHEMA.fields]
-                )
 
-            def close(self) -> None:
-                pass
+        def handleInputRows(self, key, rows, timerValues):
+            (block_key,) = key
+            reps: list[str] = []
+            if self._reps.exists():
+                (packed,) = self._reps.get()
+                if packed:
+                    reps = packed.split(_REP_SEP)
+            names: list[str] = []
+            for pdf in rows:
+                names.extend(pdf["name"].tolist())
+            out_rows = _assign_names(
+                block_key, names, reps, jaro_threshold, max_reps_per_key
+            )
+            self._reps.update((_REP_SEP.join(reps),))
+            yield pd.DataFrame(
+                out_rows, columns=[f.name for f in ASSIGN_SCHEMA.fields]
+            )
 
-        return P()
+        def close(self) -> None:
+            pass
+
+    return P()
 
 
 def rep_state(spark: SparkSession, table_dir: str) -> DataFrame:
     """(block_key, rep) — the current representative universe from the
-    assignment log, the seed for a state-carrying restart. Includes reps
-    created by ``reconcile_overflow`` (they carry is_new_cluster=True)."""
+    assignment log, the seed for a state-carrying restart.
+
+    Derived from DISTINCT non-null ``cluster_rep`` rather than
+    ``is_new_cluster``: a seeded restart replays the source, and a seeded
+    rep matching itself logs is_new_cluster=False — an is_new_cluster
+    filter would silently drop every INHERITED rep from the next
+    generation's universe, losing the rep set on the second chained
+    restart. Every cluster_rep value IS a rep (including reconciled
+    singletons and seeded ones), so this survives chaining."""
     return (
         read_assignments(spark, table_dir)
-        .where(F.col("is_new_cluster"))
-        .select("block_key", F.col("name").alias("rep"))
+        .where(F.col("cluster_rep").isNotNull())
+        .select("block_key", F.col("cluster_rep").alias("rep"))
+        .distinct()
     )
 
 
@@ -357,12 +363,19 @@ def start_incremental_assign_tws(
     state store itself — no driver-side materialization — making this the
     at-scale restart path.
 
-    Requires the RocksDB state store (set here; transformWithState does
-    not run on the HDFS-backed provider) and the ``protobuf`` package
-    (the transformWithState state protocol is protobuf-encoded; import-
-    gated per environment — absent in this sandbox, so the covering test
-    is ``importorskip``-guarded and the broadcast-seeded twin carries the
-    in-sandbox evidence)."""
+    Requires the RocksDB state store (transformWithState does not run on
+    the HDFS-backed provider) and the ``protobuf`` package (the
+    transformWithState state protocol is protobuf-encoded; import-gated
+    per environment — absent in this sandbox, so the covering test is
+    ``importorskip``-guarded and the broadcast-seeded twin carries the
+    in-sandbox evidence).
+
+    Side effect, deliberate and documented: the state-store provider is a
+    SESSION conf (Spark has no per-query override), so this sets it to
+    RocksDB and leaves it set while the query runs — restoring it
+    mid-query would hand later micro-batch replans a different provider.
+    If ``start()`` fails, the previous value IS restored, so a failed
+    attempt never contaminates unrelated queries."""
     try:
         import google.protobuf  # noqa: F401
     except ImportError as e:  # pragma: no cover - environment-dependent
@@ -372,22 +385,35 @@ def start_incremental_assign_tws(
             "start_incremental_assign(initial_reps=...) — same semantics, "
             "broadcast-distributed seed"
         ) from e
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        conf_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    names = _blocked_name_stream(spark, source_dir)
-    init = initial_reps.groupBy("block_key") if initial_reps is not None else None
-    assigned = names.groupBy("block_key").transformWithStateInPandas(
-        statefulProcessor=_AssignProcessor(jaro_threshold, max_reps_per_key),
-        outputStructType=ASSIGN_SCHEMA,
-        outputMode="append",
-        timeMode="none",
-        initialState=init,
-    )
-    return _start_assign_writer(
-        assigned, table_dir, checkpoint_dir, trigger_available_now
-    )
+    try:
+        names = _blocked_name_stream(spark, source_dir)
+        init = (
+            initial_reps.groupBy("block_key") if initial_reps is not None else None
+        )
+        assigned = names.groupBy("block_key").transformWithStateInPandas(
+            statefulProcessor=_make_assign_processor(
+                jaro_threshold, max_reps_per_key
+            ),
+            outputStructType=ASSIGN_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+            initialState=init,
+        )
+        return _start_assign_writer(
+            assigned, table_dir, checkpoint_dir, trigger_available_now
+        )
+    except Exception:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+        raise
 
 
 def read_assignments(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -463,11 +489,7 @@ def reconcile_overflow(
     n = overflow.count()
     if n == 0:
         return 0
-    reps = (
-        read_assignments(spark, table_dir)
-        .where(F.col("is_new_cluster"))
-        .select("block_key", F.col("name").alias("rep"))
-    )
+    reps = rep_state(spark, table_dir)
     from pyspark.sql import Window as W
 
     scored = score_pairs(

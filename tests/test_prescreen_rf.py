@@ -115,12 +115,20 @@ def test_depth1_split_exact(spark):
     one = spark.createDataFrame([(0.7, 1.0), (0.7, 0.0)], "rf_prob double, keep double")
     assert depth1_split_df(one).first()["cutoff"] == 0.5
 
-    # pure-label data: every split has zero gain; the tie-break is the
-    # SMALLEST candidate score -> midpoint of the first two distinct scores
+    # pure-label data: every split has zero gain -> no meaningful split,
+    # default 0.5 (matches the old MLlib degenerate-tree fallback)
     pure = spark.createDataFrame(
         [(0.1, 1.0), (0.4, 1.0), (0.6, 1.0)], "rf_prob double, keep double"
     )
-    assert depth1_split_df(pure).first()["cutoff"] == 0.25
+    assert depth1_split_df(pure).first()["cutoff"] == 0.5
+
+    # the midpoint is returned UNROUNDED: adjacent scores closer than any
+    # rounding step must still yield a cutoff strictly between them
+    tight = spark.createDataFrame(
+        [(0.4999996, 0.0), (0.4999998, 1.0)], "rf_prob double, keep double"
+    )
+    c = depth1_split_df(tight).first()["cutoff"]
+    assert 0.4999996 < c < 0.4999998
 
 
 def test_accept_threshold_tie_groups(spark):

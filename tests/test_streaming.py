@@ -382,6 +382,12 @@ def _seeded_restart_closes_reoverflow(spark, tmp_path, restart):
     # allowed; the cap only blocks further growth)
     for nm in ("KATO", "KETO", "KUTO"):
         assert rows[nm]["cluster_rep"] == nm and not rows[nm]["overflow"]
+    # CHAINED restarts: the new generation's rep universe must still carry
+    # every inherited rep (a seeded rep logs is_new_cluster=False on
+    # replay, so rep_state derives from distinct cluster_rep — an
+    # is_new_cluster filter would lose the universe at generation 3)
+    gen2_reps = {r["rep"] for r in rep_state(spark, t2).collect()}
+    assert {"KATO", "KETO", "KUTO"} <= gen2_reps
 
 
 def test_seeded_restart_closes_reoverflow(spark, tmp_path):
