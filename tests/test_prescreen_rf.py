@@ -145,3 +145,59 @@ def test_accept_threshold_tie_groups(spark):
     assert accept_threshold_df(df, 0.6).first()["accept"] == 0.8
     # an unreachable bar accepts nothing automatically
     assert accept_threshold_df(df, 1.1).first()["accept"] == 1.0
+
+
+def test_depth1_split_matches_bruteforce(spark):
+    # property: over random (score, label) sets the distributed Gini
+    # argmin equals a literal O(k^2)-free numpy reference (cum-sum sweep,
+    # same tie-break: lowest impurity, then smallest score)
+    import numpy as np
+
+    from name_matching_spark.operators.prescreen import (
+        accept_threshold_df,
+        depth1_split_df,
+    )
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n = rng.randint(5, 60)
+        scores = [round(rng.choice([i / 20 for i in range(21)]), 6) for _ in range(n)]
+        labels = [float(rng.random() < s) for s in scores]  # P(1|s) = s
+        df = spark.createDataFrame(
+            list(zip(scores, labels)), "rf_prob double, keep double"
+        )
+
+        s = np.array(sorted(set(scores)))
+        cnt = np.array([sum(1 for x in scores if x == v) for v in s], dtype=float)
+        pos = np.array(
+            [sum(l for x, l in zip(scores, labels) if x == v) for v in s], dtype=float
+        )
+        nl, nl1 = np.cumsum(cnt), np.cumsum(pos)
+        nt, nt1 = nl[-1], nl1[-1]
+        if len(s) < 2 or nt1 == 0 or nt1 == nt:
+            expect = 0.5
+        else:
+            nlc, nl1c = nl[:-1], nl1[:-1]
+            nr, nr1 = nt - nlc, nt1 - nl1c
+            gl = 1 - (nl1c / nlc) ** 2 - ((nlc - nl1c) / nlc) ** 2
+            gr = 1 - (nr1 / nr) ** 2 - ((nr - nr1) / nr) ** 2
+            imp = np.round((nlc * gl + nr * gr) / nt, 12)
+            i = int(np.lexsort((s[:-1], imp))[0])
+            expect = (s[i] + s[i + 1]) / 2.0
+        got = depth1_split_df(df).first()["cutoff"]
+        assert got == expect, (trial, got, expect)
+
+        # accept threshold vs a literal descending tie-group sweep
+        target = 0.7
+        acc_expect = 1.0
+        tp = fp = 0
+        best = None
+        for v in sorted(set(scores), reverse=True):
+            tp += sum(1 for x, l in zip(scores, labels) if x == v and l == 1.0)
+            fp += sum(1 for x, l in zip(scores, labels) if x == v and l != 1.0)
+            if tp / (tp + fp) >= target:
+                best = v
+        if best is not None:
+            acc_expect = best
+        acc = accept_threshold_df(df, target).first()["accept"]
+        assert acc == acc_expect, (trial, acc, acc_expect)
