@@ -42,16 +42,24 @@ def fingerprint(*parts: object) -> str:
 
 
 def df_fingerprint(df: DataFrame | None) -> str:
-    """Content fingerprint of a (small) side-input table: row count + an
-    order-insensitive xor of row hashes. One aggregate job — used so that
-    e.g. changed training labels correctly invalidate downstream stages."""
+    """Content fingerprint of a (small) side-input table: row count, an
+    order-insensitive xor of row hashes, AND a multiplicity-sensitive
+    mod-prime sum of the same hashes. One aggregate job — used so that
+    e.g. changed training labels correctly invalidate downstream stages.
+
+    The sum term exists because xor alone cancels on duplicate-row
+    multiplicity ({A, A, B} and {B, B, B} share count=3 and xor=B); the
+    bounded summands (< 2²⁰ each) keep the bigint sum overflow-free to
+    ~10¹² rows — far beyond any side-input this guards."""
     if df is None:
         return "none"
+    cols = ", ".join(df.columns)
     row = df.agg(
         F.count("*").alias("c"),
-        F.coalesce(F.expr(f"bit_xor(xxhash64({', '.join(df.columns)}))"), F.lit(0)).alias("h"),
+        F.coalesce(F.expr(f"bit_xor(xxhash64({cols}))"), F.lit(0)).alias("h"),
+        F.coalesce(F.expr(f"sum(pmod(xxhash64({cols}), 1000003))"), F.lit(0)).alias("s"),
     ).collect()[0]
-    return f"{row['c']}:{row['h']}"
+    return f"{row['c']}:{row['h']}:{row['s']}"
 
 
 @dataclass
@@ -67,9 +75,12 @@ class StageResult:
 @dataclass
 class CheckpointManager:
     """``num_buckets`` sizes every bucketed stage this manager writes; it is
-    part of each bucketed stage's layout, so changing it invalidates nothing
-    (the fingerprint covers params, not layout) but mixing bucket counts
-    across stages that join each other forfeits the zero-exchange plan."""
+    part of each bucketed stage's LAYOUT, which is part of the stage
+    fingerprint — changing it therefore re-runs every bucketed stage and
+    its downstream chain (a checkpoint written under a different layout
+    must not satisfy a resume that plans zero-Exchange joins against this
+    one). Mixing bucket counts across stages that join each other forfeits
+    the zero-exchange plan."""
 
     root: str
     spark: SparkSession
@@ -142,8 +153,14 @@ class CheckpointManager:
         """Run ``fn`` (or load its checkpoint) as stage ``name``.
 
         The stage fingerprint chains the fingerprints of ``depends_on``
-        stages with ``params``; a manifest hit with the same fingerprint and
-        an intact _SUCCESS marker short-circuits to a parquet read.
+        stages with ``params``; a manifest hit with the same fingerprint,
+        an intact _SUCCESS marker, AND a matching in-directory _FINGERPRINT
+        file short-circuits to a parquet read. The _FINGERPRINT file is
+        written LAST in the stage commit, so a run that overwrote the data
+        but crashed before committing can never be served as a cache hit
+        for a fingerprint the data does not actually carry (the manifest
+        alone cannot guarantee that — it describes the PREVIOUS completed
+        write, not whatever is on disk now).
 
         ``bucket_by`` materializes the stage BUCKETED by those columns
         (io.write_bucketed rationale): the shuffle on the stage's join key
@@ -170,7 +187,17 @@ class CheckpointManager:
         manifest = self._load_manifest()
         entry = manifest.get(name)
         success = os.path.join(out_dir, "_SUCCESS")
-        if entry and entry["fingerprint"] == fp and os.path.exists(success):
+        fp_file = os.path.join(out_dir, "_FINGERPRINT")
+        disk_fp = None
+        if os.path.exists(fp_file):
+            with open(fp_file) as f:
+                disk_fp = f.read().strip()
+        if (
+            entry
+            and entry["fingerprint"] == fp
+            and os.path.exists(success)
+            and disk_fp == fp
+        ):
             if entry.get("bucket_by"):
                 df = self._register_bucketed(entry, out_dir)
             else:
@@ -182,33 +209,35 @@ class CheckpointManager:
         t0 = time.time()
         df = fn()
         if bucket_by:
+            from .io import write_bucketed
+
             tbl = self._table_name(name)
             self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            # one shuffle task per bucket → exactly num_buckets files instead
-            # of tasks × buckets
-            writer = (
-                df.repartition(self.num_buckets, *bucket_by)
-                .write.mode("overwrite")
-                .bucketBy(self.num_buckets, *bucket_by)
+            write_bucketed(
+                df, tbl, list(bucket_by), self.num_buckets,
+                sort_cols=list(sort_by) if sort_by else None, path=out_dir,
             )
-            if sort_by:
-                writer = writer.sortBy(*sort_by)
-            writer.option("path", out_dir).format("parquet").saveAsTable(tbl)
             out = self.spark.table(tbl)
         else:
             df.write.mode("overwrite").parquet(out_dir)
             out = self.spark.read.parquet(out_dir)
         wall_ms = (time.time() - t0) * 1000
 
-        # lineage: per-partition row counts of the materialized output
-        part_counts = (
+        # lineage: per-partition row counts of the materialized output —
+        # collected once (one scan) and written back from the driver, which
+        # also serves the manifest row total without a second full scan
+        part_rows = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
-            .withColumn("stage", F.lit(name))
-            .select("stage", "partition_id", "rows")
+            .collect()
         )
         lineage_dir = os.path.join(self.root, "_lineage", name)
-        part_counts.write.mode("overwrite").parquet(os.path.join(lineage_dir, "partitions"))
+        self.spark.createDataFrame(
+            [(name, r["partition_id"], r["rows"]) for r in part_rows],
+            "stage string, partition_id int, rows bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(lineage_dir, "partitions")
+        )
 
         # score-distribution metrics: 10-bin histogram per score column
         for col in score_cols or []:
@@ -229,7 +258,12 @@ class CheckpointManager:
                 os.path.join(lineage_dir, f"hist_{col}")
             )
 
-        rows = out.count()
+        rows = int(sum(r["rows"] for r in part_rows))
+        # the stage commit point: data + lineage + metrics are all on disk;
+        # the _FINGERPRINT file makes the directory self-describing (see
+        # docstring) and the manifest line makes the hit findable
+        with open(fp_file, "w") as f:
+            f.write(fp)
         mentry = {
             "stage": name,
             "fingerprint": fp,

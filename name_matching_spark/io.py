@@ -51,16 +51,29 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int = 64,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Materialize ``df`` as a bucketed (and optionally sorted) table.
 
     Spark bucketing requires the table catalog (saveAsTable); the files
-    land under spark.sql.warehouse.dir. ``sort_cols`` additionally sorts
+    land under spark.sql.warehouse.dir unless ``path`` pins an external
+    location (the checkpoint layer does). ``sort_cols`` additionally sorts
     within buckets so sort-merge joins skip their sort too.
+
+    The pre-write ``repartition`` on the bucket columns gives one shuffle
+    task per bucket — exactly ``num_buckets`` files per table instead of
+    (shuffle tasks × buckets) small files, which is the difference between
+    a usable and an unusable layout at 10^12 rows.
     """
-    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    writer = (
+        df.repartition(num_buckets, *bucket_cols)
+        .write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 
@@ -110,31 +123,44 @@ def merge_into(
     ``'overwrite'`` makes the new rows win instead. Unmatched rows from both
     sides are kept (full-outer MERGE).
 
+    Duplicate keys WITHIN a side (e.g. the same pair labeled twice in one
+    review batch) are collapsed to one deterministic winner — priority
+    first, then the smallest content hash of the non-key columns — on the
+    first merge and on every later one, so the result never depends on
+    shuffle order. (Iceberg's MERGE INTO would instead error on multiple
+    matches; a review queue wants dedup, not a failed commit.)
+
     Crash-safety: the merged snapshot is written to a scratch directory and
     renamed to ``gen=<n+1>`` in one atomic filesystem operation — a failure
     at ANY point leaves the previous generation as the committed table (the
     same generation pattern as streaming compaction). Older generations are
-    pruned down to ``keep_generations`` AFTER the commit (cheap time
+    pruned down to ``keep_generations`` (≥ 1) AFTER the commit (cheap time
     travel / post-mortem). Returns the committed generation id.
     """
     assert when_matched in ("keep_existing", "overwrite")
+    assert keep_generations >= 1, "keep_generations=0 would prune the live table"
+    from pyspark.sql import Window
+
+    def _dedup(df: DataFrame, order_cols: list) -> DataFrame:
+        value_cols = [c for c in df.columns if c not in keys and c != "_prio"]
+        tie = F.xxhash64(*value_cols) if value_cols else F.lit(0)
+        w = Window.partitionBy(*keys).orderBy(*order_cols, tie.asc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     existing = read_merged(spark, table_dir)
     if existing is None:
-        merged = new_df
+        merged = _dedup(new_df, [])
         next_gen = 0
     else:
-        from pyspark.sql import Window
-
         new_prio = 1 if when_matched == "keep_existing" else 0
         u = existing.withColumn("_prio", F.lit(1 - new_prio)).unionByName(
             new_df.withColumn("_prio", F.lit(new_prio))
         )
-        w = Window.partitionBy(*keys).orderBy("_prio")
-        merged = (
-            u.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_prio", "_rn")
-        )
+        merged = _dedup(u, [F.col("_prio").asc()]).drop("_prio")
         next_gen = _generations(table_dir)[-1] + 1
     os.makedirs(table_dir, exist_ok=True)
     tmp = os.path.join(table_dir, f"_merging_gen_{next_gen}")

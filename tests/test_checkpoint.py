@@ -148,3 +148,43 @@ def test_bucketed_stage_reregisters_in_fresh_catalog(spark, tmp_path):
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_stage_integrity_gate(spark, tmp_path):
+    # the _FINGERPRINT file ties the on-disk data to the manifest entry: a
+    # directory whose data does not carry the manifest's fingerprint (crash
+    # between data overwrite and manifest append) must NOT cache-hit
+    import os
+
+    from name_matching_spark.checkpoint import CheckpointManager
+
+    root = str(tmp_path / "ck")
+    mgr = CheckpointManager(root, spark)
+    mgr.stage("s", lambda: spark.range(5).toDF("x"), params="A")
+    assert not mgr.results["s"].skipped
+
+    # normal resume: manifest fp matches AND the directory self-describes
+    mgr2 = CheckpointManager(root, spark)
+    mgr2.stage("s", lambda: spark.range(5).toDF("x"), params="A")
+    assert mgr2.results["s"].skipped
+
+    # simulate the torn commit: data on disk no longer carries the
+    # manifest's fingerprint (here: the _FINGERPRINT file diverges)
+    with open(os.path.join(root, "s", "_FINGERPRINT"), "w") as f:
+        f.write("someone-elses-fingerprint")
+    mgr3 = CheckpointManager(root, spark)
+    mgr3.stage("s", lambda: spark.range(5).toDF("x"), params="A")
+    assert not mgr3.results["s"].skipped  # integrity gate forces a re-run
+    mgr4 = CheckpointManager(root, spark)
+    mgr4.stage("s", lambda: spark.range(5).toDF("x"), params="A")
+    assert mgr4.results["s"].skipped  # and the re-run re-commits cleanly
+
+
+def test_df_fingerprint_multiplicity(spark):
+    # xor alone cancels duplicate multiplicity ({A,A,B} vs {B,B,B}: same
+    # count, same xor); the mod-prime sum term must separate them
+    from name_matching_spark.checkpoint import df_fingerprint
+
+    aab = spark.createDataFrame([("A",), ("A",), ("B",)], "v string")
+    bbb = spark.createDataFrame([("B",), ("B",), ("B",)], "v string")
+    assert df_fingerprint(aab) != df_fingerprint(bbb)

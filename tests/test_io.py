@@ -70,3 +70,30 @@ def test_merge_into_generations(spark, tmp_path):
     # pruning: only keep_generations newest snapshots remain
     gens = [d for d in os.listdir(store) if d.startswith("gen=")]
     assert len(gens) == 2
+
+
+def test_merge_into_duplicate_keys_deterministic(spark, tmp_path):
+    # duplicate keys WITHIN a side collapse to one deterministic winner
+    # (priority, then smallest content hash) on the FIRST merge and on
+    # later ones — never a shuffle-order-dependent row
+    import pytest
+
+    from name_matching_spark.io import merge_into, read_merged
+
+    t = str(tmp_path / "tbl")
+    first = spark.createDataFrame(
+        [("p1", 1.0), ("p1", 0.0), ("p2", 1.0)], "pair string, keep double"
+    )
+    merge_into(spark, t, first, keys=["pair"])
+    g0 = {r["pair"]: r["keep"] for r in read_merged(spark, t).collect()}
+    assert set(g0) == {"p1", "p2"}  # deduped on the first merge too
+    p1_winner = g0["p1"]
+
+    # re-merging the same duplicate batch changes nothing (determinism:
+    # the same content hash wins again; keep_existing keeps it anyway)
+    merge_into(spark, t, first, keys=["pair"])
+    g1 = {r["pair"]: r["keep"] for r in read_merged(spark, t).collect()}
+    assert g1 == g0 and g1["p1"] == p1_winner
+
+    with pytest.raises(AssertionError):
+        merge_into(spark, t, first, keys=["pair"], keep_generations=0)
