@@ -331,15 +331,26 @@ def resolve_entities_checkpointed(
     # (and clusters by name): master⋈screened on resume, screened⋈clusters
     # feeds, and merge_labels-style joins all reuse the write-time layout
     # with zero Exchange (plan-asserted in tests/test_checkpoint.py)
+    _mn_results: list = []
+
+    def _build_master() -> DataFrame:
+        res = match_names(names.select("name"), **match_kwargs)
+        _mn_results.append(res)
+        return res.master
+
     master = mgr.stage(
         "match_names",
-        lambda: match_names(names.select("name"), **match_kwargs).master,
+        _build_master,
         depends_on=["extract_names"],
         params=sorted(match_kwargs.items()),
         score_cols=["cosine_similarity", "jw_distance", "token_sim"],
         bucket_by=["name", "match"],
         sort_by=["name", "match"],
     )
+    # the stage just wrote master to parquet (or skipped — list empty), so
+    # the run's pinned weights/parse tables are releasable now
+    for res in _mn_results:
+        res.release()
     addr_pairs = (
         mgr.stage(
             "match_addresses",

@@ -102,12 +102,16 @@ def connected_components(
     free, the first convergence checksum computes it anyway."""
     import os
 
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .where(F.col("u") != F.col("v"))
-        .distinct()
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
     )
+    # self-loops carry no connectivity, but their NODES are still part of
+    # the contract ("for every node in edges"): a node whose only edge is
+    # (a, a) must come out as its own singleton component, not vanish
+    selfies = (
+        raw.where(F.col("u") == F.col("v")).select(F.col("u").alias("name")).distinct()
+    )
+    e = raw.where(F.col("u") != F.col("v")).distinct()
     # eager checkpoint per round: measured faster than lazy + checksum
     # (lazy localCheckpoint recomputes under the aggregate-only action)
     e = materialize(e, eager=True)
@@ -151,16 +155,20 @@ def connected_components(
     )
     ids = members.unionByName(roots).distinct()
     if mapping is None:
-        return ids.select(F.col("_m").alias("name"), F.col("_c").alias("component"))
-    # single join-back from ids to names (two hash joins on int keys)
-    return (
-        ids.join(mapping.withColumnsRenamed({"_nid": "_m"}), "_m")
-        .withColumnsRenamed({"_n": "name"})
-        .join(
-            mapping.withColumnsRenamed({"_nid": "_c", "_n": "component"}), "_c"
+        result = ids.select(F.col("_m").alias("name"), F.col("_c").alias("component"))
+    else:
+        # single join-back from ids to names (two hash joins on int keys)
+        result = (
+            ids.join(mapping.withColumnsRenamed({"_nid": "_m"}), "_m")
+            .withColumnsRenamed({"_n": "name"})
+            .join(
+                mapping.withColumnsRenamed({"_nid": "_c", "_n": "component"}), "_c"
+            )
+            .select("name", "component")
         )
-        .select("name", "component")
-    )
+    # nodes whose ONLY edges were self-loops: singleton components
+    extra = selfies.join(result.select("name"), "name", "left_anti")
+    return result.unionByName(extra.withColumn("component", F.col("name")))
 
 
 def dense_ids(df: DataFrame, col: str, out: str = "cluster") -> DataFrame:

@@ -22,7 +22,7 @@ Channel → blocking key:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,7 +35,6 @@ from .operators.blocking import (
     minhash_band_keys,
     pairs_from_index,
     shared_word_pairs,
-    union_candidate_pairs,
 )
 from .operators.human import match_first_name
 from .operators.pairs import score_pairs
@@ -49,6 +48,20 @@ class MatchNamesResult:
     dropped_blocks: DataFrame  # hot block keys excluded from pair joins (lineage)
     name_parts: DataFrame | None = None  # human-channel parse (persisted),
     # reused by pre_screen's cross-surname rule instead of re-parsing
+    caches: list = field(default_factory=list)  # tables this run persisted
+    # (tf-idf weights, the human parse) that outlive the merge barrier
+    # because the LAZY master/backfill still references them
+
+    def release(self) -> None:
+        """Unpersist this run's pinned tables. Call once the downstream
+        consumers of ``master``/``name_parts`` are materialized (a later
+        evaluation would silently recompute them — correct, just slower);
+        without this a long-lived session accumulates one weights + parse
+        cache per match_names run (same defect class as the block-index
+        caches, which release at the merge barrier automatically)."""
+        for df in self.caches:
+            df.unpersist()
+        self.caches.clear()
 
 
 def prepare_names(names: DataFrame, name_col: str = "name") -> DataFrame:
@@ -183,7 +196,8 @@ def match_names(
         )
     )
     return MatchNamesResult(
-        master=master, dropped_blocks=dropped, name_parts=name_parts
+        master=master, dropped_blocks=dropped, name_parts=name_parts,
+        caches=[weights, name_parts],
     )
 
 
@@ -383,6 +397,16 @@ class ResolutionResult:
     screened: DataFrame     # master + keep / rf_prob / importance_dist
     clusters: DataFrame     # (name, cluster, group_name)
     dropped_blocks: DataFrame
+    caches: list = field(default_factory=list)  # this run's pinned tables
+
+    def release(self) -> None:
+        """Unpersist this run's pinned tables (names + match_names' weights
+        and human parse) once the outputs have been materialized — for
+        long-lived sessions that resolve repeatedly (see
+        MatchNamesResult.release)."""
+        for df in self.caches:
+            df.unpersist()
+        self.caches.clear()
 
 
 def resolve_entities(
@@ -437,4 +461,5 @@ def resolve_entities(
         screened=screened,
         clusters=clusters,
         dropped_blocks=mm.dropped_blocks,
+        caches=[names, *mm.caches],
     )

@@ -14,17 +14,27 @@ avoids read-modify-write on the running table entirely — appends are
 atomic, idempotent per micro-batch (checkpointed), and compaction is an
 orthogonal maintenance job — the parquet stand-in for an Iceberg MERGE.
 
-Exact-content dedup runs in the same pass: first-seen doc ids per content
-hash are tracked with ``dropDuplicates`` on the streaming side (state
-store), so downstream matching never sees a duplicate document twice.
+Exact-content dedup runs in the same pass, backed by the on-disk
+``docs_seen`` registry rather than streaming ``dropDuplicates`` state: a
+state-store entry per distinct document EVER seen would grow without
+bound at the 10^12-doc design point (no watermark can bound exact
+dedup), while the disk registry scales like any other table — each batch
+dedups within itself and anti-joins the registry of PRIOR batches, so
+downstream matching never sees a duplicate document twice and executor
+state stays empty.
 """
 
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_BATCH_RE = re.compile(r"batch_id=(-?\d+)$")
+_CGEN_RE = re.compile(r"gen=(-?\d+)$")
 
 SPANS_DDL = (
     "doc_id string, "
@@ -50,18 +60,32 @@ def start_name_ingest(
     """Stream documents → append per-batch (name, n) partials + first-seen
     doc registry. Returns the StreamingQuery."""
     docs = stream_documents(spark, source_dir)
-    # streaming-state exact dedup: only the first doc with a given content
-    # hash flows on (state store keyed by hash)
     hashed = docs.withColumn("_h", F.md5(F.to_json("spans")))
-    fresh = hashed.dropDuplicates(["_h"])
 
     counts_dir = os.path.join(table_dir, "name_counts")
     seen_dir = os.path.join(table_dir, "docs_seen")
 
-    def _sink(batch: DataFrame, batch_id: int) -> None:
+    def _sink(incoming: DataFrame, batch_id: int) -> None:
         # idempotent under foreachBatch's at-least-once replay: each batch
         # OVERWRITES its own partition directory, so a re-run of the same
-        # batch_id replaces rather than double-counts
+        # batch_id replaces rather than double-counts.
+        #
+        # exact-content dedup, DISK-backed (module docstring): dedup within
+        # the batch, then anti-join the docs_seen registry of PRIOR batches
+        # — the current batch's own registry dir is excluded so a replayed
+        # batch does not anti-join against its previous attempt and write
+        # itself away to an empty partial.
+        batch = incoming.dropDuplicates(["_h"])
+        prior = [
+            os.path.join(seen_dir, d)
+            for d in (os.listdir(seen_dir) if os.path.isdir(seen_dir) else [])
+            if _BATCH_RE.fullmatch(d) and d != f"batch_id={batch_id}"
+        ]
+        if prior:
+            seen = spark.read.parquet(*prior).select(
+                F.col("content_hash").alias("_h")
+            )
+            batch = batch.join(seen, "_h", "left_anti")
         batch = batch.persist()
         names = (
             batch.select(F.explode("spans").alias("s"))
@@ -83,7 +107,7 @@ def start_name_ingest(
         batch.unpersist()
 
     writer = (
-        fresh.writeStream.foreachBatch(_sink)
+        hashed.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
@@ -92,9 +116,39 @@ def start_name_ingest(
     return writer.start()
 
 
+def _live_count_paths(counts_dir: str) -> list[str]:
+    """The directories a consistent read covers: the LATEST compacted
+    generation (``gen=<W>``, which folds every batch id ≤ W) plus the
+    batch partials with id > W. Batch dirs at or below the generation
+    watermark are superseded garbage (a crash may leave them behind;
+    the next compaction collects them) and are never read — that is what
+    makes the compaction commit atomic for readers."""
+    batches: dict[int, str] = {}
+    gens: dict[int, str] = {}
+    for d in os.listdir(counts_dir) if os.path.isdir(counts_dir) else []:
+        m = _BATCH_RE.fullmatch(d)
+        if m:
+            batches[int(m.group(1))] = d
+            continue
+        m = _CGEN_RE.fullmatch(d)
+        if m:
+            gens[int(m.group(1))] = d
+    w = max(gens) if gens else None
+    paths = [os.path.join(counts_dir, gens[w])] if w is not None else []
+    paths += [
+        os.path.join(counts_dir, d)
+        for b, d in sorted(batches.items())
+        if w is None or b > w
+    ]
+    return paths
+
+
 def read_name_counts(spark: SparkSession, table_dir: str) -> DataFrame:
-    """(name, n) — aggregate of the log-structured partials."""
-    partials = spark.read.parquet(os.path.join(table_dir, "name_counts"))
+    """(name, n) — aggregate of the log-structured partials (latest
+    compacted generation + newer batch partials)."""
+    partials = spark.read.parquet(
+        *_live_count_paths(os.path.join(table_dir, "name_counts"))
+    )
     return partials.groupBy("name").agg(F.sum("n").alias("n"))
 
 
@@ -105,42 +159,80 @@ def new_names_since(
     incremental matching frontier. Uses the ``first_batch`` data column,
     which compaction preserves (min per name), so the frontier survives
     compaction (ADVICE r1)."""
-    partials = spark.read.parquet(os.path.join(table_dir, "name_counts"))
+    partials = spark.read.parquet(
+        *_live_count_paths(os.path.join(table_dir, "name_counts"))
+    )
     first_seen = partials.groupBy("name").agg(F.min("first_batch").alias("first_batch"))
     return first_seen.where(F.col("first_batch") > since_batch).select("name")
 
 
 def compact_name_counts(spark: SparkSession, table_dir: str) -> None:
-    """Maintenance: fold a snapshot of batch partitions into one compacted
-    generation, then remove ONLY the snapshotted partitions — batches the
-    stream appends concurrently are untouched, so compaction is safe to run
-    against a live stream (the compacted generation reuses the smallest
-    snapshotted batch_id, keeping ids unique). First-seen provenance is
-    aggregated into the generation (min(first_batch) per name), so
-    ``new_names_since`` keeps working across compactions."""
-    import re
-    import shutil
+    """Maintenance: fold the current generation + a snapshot of batch
+    partials into a NEW compacted generation ``gen=<W>`` (W = highest
+    folded batch id), committed by one atomic rename. Readers take the
+    latest generation plus batch ids > W (``_live_count_paths``), so:
 
+    - the commit is ATOMIC for concurrent readers — before the rename they
+      read the old generation + partials, after it the new generation
+      supersedes exactly the partials it folded (no missing-data window,
+      no double-count window);
+    - a crash at ANY point loses nothing: before the rename the scratch
+      dir is invisible (and cleaned on the next run), after it the folded
+      batch dirs are superseded garbage that the post-commit sweep — or
+      the next compaction — removes;
+    - the HIGHEST on-disk batch id is never folded: under foreachBatch's
+      at-least-once contract it may be an uncommitted in-flight write
+      that the restarted stream will REPLAY (overwriting its dir) —
+      folding it would double-count every name in it after the replay.
+      Older ids are durable (the stream has committed past them).
+
+    First-seen provenance is aggregated into the generation
+    (min(first_batch) per name), so ``new_names_since`` keeps working
+    across compactions. Safe to run against a live stream."""
     counts_dir = os.path.join(table_dir, "name_counts")
-    snap = [
-        d
-        for d in os.listdir(counts_dir)
-        if re.fullmatch(r"batch_id=-?\d+", d)
-    ]
-    if len(snap) <= 1:
+    if not os.path.isdir(counts_dir):
         return
-    paths = [os.path.join(counts_dir, d) for d in sorted(snap)]
-    gen_id = min(int(d.split("=")[1]) for d in snap)
+    batches: dict[int, str] = {}
+    gens: dict[int, str] = {}
+    for d in os.listdir(counts_dir):
+        m = _BATCH_RE.fullmatch(d)
+        if m:
+            batches[int(m.group(1))] = d
+            continue
+        m = _CGEN_RE.fullmatch(d)
+        if m:
+            gens[int(m.group(1))] = d
+    old_w = max(gens) if gens else None
+    # garbage collection: dirs a PREVIOUS compaction superseded but a crash
+    # left unswept — batch ids ≤ the current watermark and older gens
+    # (readers already ignore both)
+    for b in [b for b in batches if old_w is not None and b <= old_w]:
+        shutil.rmtree(os.path.join(counts_dir, batches.pop(b)))
+    for g in [g for g in gens if old_w is not None and g < old_w]:
+        shutil.rmtree(os.path.join(counts_dir, gens.pop(g)))
+    live = sorted(batches)
+    fold = live[:-1]  # never the highest id: possibly in-flight (docstring)
+    if not fold:
+        return
+    new_w = max(fold)
+    srcs = ([os.path.join(counts_dir, gens[old_w])] if old_w is not None else []) + [
+        os.path.join(counts_dir, batches[b]) for b in fold
+    ]
     agg = (
-        spark.read.parquet(*paths)
+        spark.read.parquet(*srcs)
         .groupBy("name")
         .agg(F.sum("n").alias("n"), F.min("first_batch").alias("first_batch"))
     )
     tmp = os.path.join(table_dir, "_compacting")
+    if os.path.isdir(tmp):  # leftover scratch from a crashed compaction
+        shutil.rmtree(tmp)
     agg.write.mode("overwrite").parquet(tmp)
-    for p in paths:
-        shutil.rmtree(p)
-    os.rename(tmp, os.path.join(counts_dir, f"batch_id={gen_id}"))
+    os.rename(tmp, os.path.join(counts_dir, f"gen={new_w}"))  # the commit
+    # post-commit sweep of superseded dirs (readers already ignore them)
+    for b in fold:
+        shutil.rmtree(os.path.join(counts_dir, batches[b]))
+    if old_w is not None:
+        shutil.rmtree(os.path.join(counts_dir, gens[old_w]))
 
 
 # ---------------------------------------------------------------------------

@@ -134,3 +134,15 @@ def test_cc_int_id_path_matches_string_path(spark):
     assert got_s == got_i
     oracle = _union_find_components([e for e in edges if e[0] != e[1]])
     assert dict(got_i) == oracle
+
+
+def test_self_loop_only_nodes_are_singletons(spark):
+    # "(name, component) for every node in edges": a node whose only edge
+    # is a self-loop must surface as its own singleton component
+    from name_matching_spark.operators.cc import connected_components
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("C", "C"), ("A", "A")], "name string, match string"
+    )
+    got = {(r["name"], r["component"]) for r in connected_components(edges).collect()}
+    assert got == {("A", "A"), ("B", "A"), ("C", "C")}

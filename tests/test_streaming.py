@@ -419,3 +419,60 @@ def test_tws_seeded_restart_closes_reoverflow(spark, tmp_path):
             s, src, t, c, max_reps_per_key=2, initial_reps=seed
         ),
     )
+
+
+def test_compaction_replay_and_crash_safety(spark, tmp_path):
+    # 1) the HIGHEST on-disk batch id is never folded (it may be an
+    #    uncommitted in-flight write that foreachBatch will replay);
+    # 2) a replay that overwrites that dir does not change totals;
+    # 3) dirs a crashed sweep left behind (ids <= the generation watermark)
+    #    are ignored by readers and collected by the next compaction.
+    import os
+    import shutil
+
+    from name_matching_spark.streaming.ingest import (
+        compact_name_counts,
+        read_name_counts,
+        start_name_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _write_docs(spark, src, [("d1", [_span("ACME OIL")])])
+    start_name_ingest(spark, src, table, ckpt).awaitTermination(120)
+    _write_docs(spark, src, [("d2", [_span("ACME OIL"), _span("BOLT GAS")])])
+    start_name_ingest(spark, src, table, ckpt).awaitTermination(120)
+
+    counts_dir = os.path.join(table, "name_counts")
+    before = {r["name"]: r["n"] for r in read_name_counts(spark, table).collect()}
+    assert before == {"ACME OIL": 2, "BOLT GAS": 1}
+
+    compact_name_counts(spark, table)
+    dirs = sorted(os.listdir(counts_dir))
+    assert "gen=0" in dirs and "batch_id=1" in dirs and "batch_id=0" not in dirs
+    assert {r["name"]: r["n"] for r in read_name_counts(spark, table).collect()} == before
+
+    # simulate an at-least-once REPLAY of the un-folded max batch: the
+    # sink overwrites its own dir, totals must not change
+    replay = spark.read.parquet(os.path.join(counts_dir, "batch_id=1"))
+    replay.write.mode("overwrite").parquet(os.path.join(counts_dir, "_replay_tmp"))
+    shutil.rmtree(os.path.join(counts_dir, "batch_id=1"))
+    os.rename(
+        os.path.join(counts_dir, "_replay_tmp"), os.path.join(counts_dir, "batch_id=1")
+    )
+    assert {r["name"]: r["n"] for r in read_name_counts(spark, table).collect()} == before
+
+    # simulate a crashed post-commit sweep: a superseded dir (id <= W)
+    # reappears — readers ignore it, the next compaction collects it
+    stale = os.path.join(counts_dir, "batch_id=0")
+    spark.createDataFrame(
+        [("ACME OIL", 99, 0)], "name string, n long, first_batch long"
+    ).write.mode("overwrite").parquet(stale)
+    assert {r["name"]: r["n"] for r in read_name_counts(spark, table).collect()} == before
+    _write_docs(spark, src, [("d3", [_span("CREST LLC")])])
+    start_name_ingest(spark, src, table, ckpt).awaitTermination(120)
+    compact_name_counts(spark, table)
+    assert not os.path.isdir(stale)
+    after = {r["name"]: r["n"] for r in read_name_counts(spark, table).collect()}
+    assert after == {"ACME OIL": 2, "BOLT GAS": 1, "CREST LLC": 1}
