@@ -74,7 +74,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_dedup_exact() -> str:
     return f"""
 WITH d AS ({DUP_DOCS_SQL}),
-h AS (SELECT doc_id, md5(text) AS th FROM d),
+h AS (SELECT doc_id, coalesce(md5(text), '__null_text__') AS th FROM d),
 g AS (SELECT th, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_size
       FROM h GROUP BY th)
 SELECT h.doc_id, g.keep_id, g.group_size FROM h JOIN g ON h.th = g.th
@@ -215,10 +215,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def o_simhash_pairs() -> str:
     sim = o_dedup_simhash().strip()
-    width = 12
+    # mirrors the operator's widened banding: max_hamming=6 needs ≥ 7
+    # bands for the pigeonhole guarantee → 8 bands of width 6 over 48 bits
+    width = 6
     mask = (1 << width) - 1
     bands = ",".join(
-        f"({bi}, {bi * width})" for bi in range(4)
+        f"({bi}, {bi * width})" for bi in range(8)
     )
     return f"""
 WITH sims AS ({sim}),
@@ -302,12 +304,17 @@ def q_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_ann_buckets() -> str:
+    # the SAME md5-derived literal coefficients the Spark side bakes in
+    # (similarity.hyperplane_coeffs) — one source of truth, two dialects
+    from .operators.similarity import hyperplane_coeffs
+
     plane_dots = []
     for p in range(12):
+        cs = hyperplane_coeffs(p, _DIM)
+        arr = "[" + ",".join(f"{c}::DOUBLE" for c in cs) + "]"
         dot = (
             f"list_reduce(list_transform(generate_series(1, {_DIM}), "
-            f"i -> embedding[i]::DOUBLE * "
-            f"((({p} * 2654435761 + (i - 1) * 40503) % 2001 - 1000)::DOUBLE)), "
+            f"i -> embedding[i]::DOUBLE * ({arr})[i]), "
             "(x, y) -> x + y)"
         )
         plane_dots.append(
@@ -350,10 +357,11 @@ unit AS (
          list_transform(v, x -> x / sqrt({unit_dot})) AS u
   FROM e WHERE sqrt({unit_dot}) > 0
 ),
-step AS (SELECT greatest(count(*) // 16, 1) AS s FROM embeddings),
 cents AS (
-  SELECT id AS cid, u AS cu FROM unit, step WHERE id % step.s = 0
-  ORDER BY id LIMIT 16
+  -- hash-ordered deterministic sample (mirrors ivf_assign: smallest
+  -- md5-int64 of id -- robust to non-dense id spaces)
+  SELECT id AS cid, u AS cu FROM unit
+  ORDER BY ('0x'||substr(md5(id::VARCHAR),1,15))::BIGINT, id LIMIT 16
 ),
 assigned AS (
   SELECT id, cell, u FROM (
@@ -450,10 +458,11 @@ unit AS (
          list_transform(v, x -> x / sqrt({unit_dot})) AS u
   FROM e WHERE sqrt({unit_dot}) > 0
 ),
-step AS (SELECT greatest(count(*) // 16, 1) AS s FROM embeddings),
 cents AS (
-  SELECT id AS cid, u AS cu FROM unit, step WHERE id % step.s = 0
-  ORDER BY id LIMIT 16
+  -- hash-ordered deterministic sample (mirrors ivf_assign: smallest
+  -- md5-int64 of id -- robust to non-dense id spaces)
+  SELECT id AS cid, u AS cu FROM unit
+  ORDER BY ('0x'||substr(md5(id::VARCHAR),1,15))::BIGINT, id LIMIT 16
 ),
 assigned AS (
   SELECT id, cell, u FROM (
@@ -481,6 +490,12 @@ best AS (
 SELECT a.id, a.cell, (b.id IS NULL) AS keep,
        CAST(b.dup_of AS DOUBLE) AS dup_of, b.cosine
 FROM assigned a LEFT JOIN best b ON a.id = b.id
+UNION ALL
+-- zero-norm vectors: outside the unit space, kept with NULL annotations
+-- (mirrors semantic_dedup's one-row-per-input completeness arm)
+SELECT vec_id AS id, NULL::BIGINT AS cell, TRUE AS keep,
+       NULL::DOUBLE AS dup_of, NULL::DOUBLE AS cosine
+FROM e WHERE sqrt({unit_dot}) = 0
 """
 
 
@@ -548,6 +563,15 @@ def o_lang_id() -> str:
     toks = _duck_toks("lower(text)")
     hit_cols = []
     for lang, ws in sorted(LANG_PROFILES.items()):
+        if lang == "zh":
+            # CJK character ratio (mirrors language_id: unsegmented Chinese
+            # has no whitespace tokens for a stopword profile to hit)
+            hit_cols.append(
+                "CASE WHEN length(text) > 0 THEN "
+                "round(length(regexp_replace(text, '[^一-鿿]', '', 'g')) "
+                "/ length(text), 6) ELSE 0.0 END AS s_zh"
+            )
+            continue
         arr = "[" + ",".join(f"'{w}'" for w in ws) + "]"
         hit_cols.append(
             f"CASE WHEN len({toks}) > 0 THEN "
@@ -565,8 +589,11 @@ def o_lang_id() -> str:
     )
     return f"""
 WITH s AS (SELECT doc_id, {", ".join(hit_cols)} FROM documents),
-p AS (SELECT *, CASE {" ".join(pred_cases)} END AS pred_lang FROM s)
-SELECT doc_id, pred_lang, CASE {score_cases} END AS lang_score FROM p
+p AS (SELECT *, CASE {" ".join(pred_cases)} END AS pred_lang FROM s),
+p2 AS (SELECT doc_id, pred_lang, CASE {score_cases} END AS lang_score FROM p)
+SELECT doc_id,
+       CASE WHEN lang_score > 0.0 THEN pred_lang ELSE 'und' END AS pred_lang,
+       lang_score FROM p2
 """
 
 

@@ -37,8 +37,15 @@ def exact_duplicates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, keep_id, group_size): every doc annotated with the minimum
-    doc id of its exact-text group. keep_id == doc_id ⇔ the canonical copy."""
-    h = docs.select(id_col, F.md5(F.col(text_col)).alias("text_hash"))
+    doc id of its exact-text group. keep_id == doc_id ⇔ the canonical copy.
+
+    NULL texts form their own group (sentinel hash): md5(NULL) is NULL and
+    a plain equi-join drops NULL keys, which would silently delete every
+    NULL-text doc from the output instead of annotating it."""
+    h = docs.select(
+        id_col,
+        F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__")).alias("text_hash"),
+    )
     groups = h.groupBy("text_hash").agg(
         F.min(id_col).alias("keep_id"), F.count("*").alias("group_size")
     )
@@ -79,7 +86,6 @@ def ngram_jaccard_pairs(
     The shared-shingle join is lossless: J > 0 requires ≥ 1 shared shingle.
     """
     sh = word_shingles(docs, text_col, id_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         dropped = df_counts.where(F.col("df") > max_df)
@@ -87,6 +93,12 @@ def ngram_jaccard_pairs(
     else:
         dropped = sh.sparkSession.createDataFrame([], "shingle string, df long")
         sh_join = sh
+    # sizes over the SAME filtered shingle space as the intersection:
+    # mixing post-filter `shared` with pre-filter sizes would systematically
+    # underestimate J (two identical docs with hot shingles dropped would
+    # score 0.33, not 1.0) — with max_df the score IS Jaccard over the
+    # surviving shingles, consistently on both terms
+    sizes = sh_join.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh_join.select(F.col("id").alias("id_a"), "shingle")
     b = sh_join.select(F.col("id").alias("id_b"), "shingle")
     inter = (
@@ -206,9 +218,18 @@ def simhash_near_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, blocked on
-    ``bands`` equal-width bit-bands (a pair within Hamming ≤ bands-1 always
-    collides in ≥ 1 band — pigeonhole), then verified exactly via
-    bit_count(xor). Output (id_a, id_b, hamming)."""
+    equal-width bit-bands (a pair within Hamming ≤ bands-1 always collides
+    in ≥ 1 band — pigeonhole), then verified exactly via bit_count(xor).
+    Output (id_a, id_b, hamming).
+
+    ``bands`` is widened automatically to the smallest divisor of ``bits``
+    that is ≥ max_hamming + 1: with fewer bands the pigeonhole guarantee
+    does not reach the requested radius and pairs with
+    bands ≤ hamming ≤ max_hamming would be SILENTLY missed (every band
+    differs, no collision) while the output contract promises them."""
+    need = max_hamming + 1
+    if bands < need:
+        bands = next(b for b in range(need, bits + 1) if bits % b == 0)
     width = bits // bands
     keyed = sims.select(
         "id",
@@ -284,9 +305,27 @@ def semantic_dedup(
         .where(F.col("_rk") == 1)
         .select("id", F.col("prev_id").alias("dup_of"), "cosine")
     )
-    return (
+    res = (
         assigned.select("id", "cell")
         .join(best, "id", "left")
         .withColumn("keep", F.col("dup_of").isNull())
         .select("id", "cell", "keep", "dup_of", "cosine")
+    )
+    # zero-norm vectors (failed encoder outputs) never enter the unit-
+    # vector space, but "one row per input vector" still holds: they come
+    # back keep=true with NULL cell/dup_of/cosine — cosine to a zero
+    # vector is undefined, so nothing can condemn them as duplicates, and
+    # dropping them silently would lose them from keep-side consumers
+    missing = emb.select(F.col(id_col).alias("id")).join(
+        res.select("id"), "id", "left_anti"
+    )
+    fields = {f.name: f.dataType for f in res.schema.fields}
+    return res.unionByName(
+        missing.select(
+            "id",
+            F.lit(None).cast(fields["cell"]).alias("cell"),
+            F.lit(True).alias("keep"),
+            F.lit(None).cast(fields["dup_of"]).alias("dup_of"),
+            F.lit(None).cast(fields["cosine"]).alias("cosine"),
+        )
     )

@@ -124,10 +124,15 @@ def _parse_ppm(b: bytes) -> tuple[int, int, bytes] | None:
         return None
     i += 1  # exactly one whitespace byte after maxval, then raster
     try:
-        w, h, _maxval = (int(t) for t in toks)
+        w, h, maxval = (int(t) for t in toks)
     except ValueError:
         return None
     if w <= 0 or h <= 0:
+        return None
+    if maxval > 255:
+        # 16-bit P6 uses TWO bytes per sample: slicing w*h*3 would hand a
+        # mis-aligned half-raster to the histogram — plausible-looking but
+        # wrong features. Undecodable here → the documented NULL path.
         return None
     return w, h, b[i : i + w * h * 3]
 
@@ -222,7 +227,17 @@ def decode_image_features(
                     continue
                 payload = bytes(payload)
                 if fake:
-                    raw = np.frombuffer(payload[: feature_dim * 4], dtype=np.uint32)
+                    # same corrupt→NULL contract as the real path: a short
+                    # or non-word-aligned payload must not kill the batch
+                    # job (frombuffer raises on length % 4, raw[1] on < 8)
+                    head = payload[: feature_dim * 4]
+                    head = head[: len(head) - len(head) % 4]
+                    if len(head) < 8:
+                        feats.append(None)
+                        ws.append(None)
+                        hs.append(None)
+                        continue
+                    raw = np.frombuffer(head, dtype=np.uint32)
                     v = (raw % 1000).astype(np.float32) / 1000.0
                     feats.append(v.tolist())
                     ws.append(int(raw[0] % 1920) + 1)

@@ -81,14 +81,34 @@ def cosine_topk(
     )
 
 
+def hyperplane_coeffs(plane: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane coefficients ∈ [−1000, 1000]:
+    the first 8 hex chars of md5('rp:<plane>:<i>') mod 2001 − 1000.
+
+    Hash-mixed per (plane, index) — the previous LCG-style scheme
+    c = (plane·K + i·40503) mod 2001 was PERIODIC in i with period 29
+    (40503 ≡ 483, 483·29 = 7·2001), so every hyperplane of every family
+    lay in one fixed 29-dimensional subspace and vectors differing only
+    orthogonally to it collided in every bucket. md5 mixing has no such
+    arithmetic structure, planes are mutually independent, and the ints
+    are computed ONCE here (driver-side) and baked into the expression as
+    literals — zero per-row hashing cost, trivially cross-engine (the
+    oracle bakes the same literals)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"rp:{plane}:{i}".encode()).hexdigest()[:8], 16) % 2001
+        - 1000
+        for i in range(dim)
+    ]
+
+
 def hyperplane_expr(vec_col: str, plane: int, dim: int) -> str:
-    """Deterministic rational hyperplane dot product: sum_i v[i]·c(plane,i)
-    with c = ((plane·2654435761 + i·40503) mod 2001) − 1000 ∈ [−1000, 1000].
-    Integer arithmetic for the coefficients ⇒ cross-engine identical."""
+    """Hyperplane dot product against the literal coefficient array of
+    ``hyperplane_coeffs`` (see there for the scheme and why)."""
+    arr = "array(" + ",".join(f"{c}D" for c in hyperplane_coeffs(plane, dim)) + ")"
     return (
-        f"aggregate(zip_with({vec_col}, "
-        f"transform(sequence(0, {dim - 1}), "
-        f"i -> cast(({plane} * 2654435761L + i * 40503L) % 2001 - 1000 as double)), "
+        f"aggregate(zip_with({vec_col}, {arr}, "
         f"(x, c) -> cast(x as double) * c), 0D, (acc, v) -> acc + v)"
     )
 
@@ -186,25 +206,30 @@ def ivf_assign(
     out: str = "cell",
     kmeans_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer. Initial centroids are a deterministic sample
-    (every k-th vector by id); with ``kmeans_iters`` > 0 they are refined
-    by spherical Lloyd iterations, entirely DataFrame-native: assign =
-    broadcast-centroid argmax (|N| × n_centroids, linear in N), update =
-    posexplode → per-(cell, dim) mean → re-normalized centroid. The
-    sampled init (iters=0) stays the default for bit-exact DuckDB-oracle
-    parity; the k-means path is the scale configuration — refined cells
-    are tighter, so the same n_probe reads fewer irrelevant vectors.
+    """IVF coarse quantizer. Initial centroids are a deterministic
+    HASH-ORDERED sample: the ``n_centroids`` vectors with the smallest
+    md5-derived int64 of their id — uniform over the corpus regardless of
+    how ids are distributed (an id-modulo sample silently yields zero
+    centroids when ids are not dense from 0, e.g. all-odd ids, emptying
+    every downstream IVF result), cross-engine reproducible (the md5-int
+    recipe the DuckDB oracles share), and computed by one
+    TakeOrderedAndProject — no count job. With ``kmeans_iters`` > 0 the
+    sample is refined by spherical Lloyd iterations, entirely
+    DataFrame-native: assign = broadcast-centroid argmax (|N| ×
+    n_centroids, linear in N), update = posexplode → per-(cell, dim) mean
+    → re-normalized centroid. The sampled init (iters=0) stays the
+    default for bit-exact DuckDB-oracle parity; the k-means path is the
+    scale configuration — refined cells are tighter, so the same n_probe
+    reads fewer irrelevant vectors.
 
     Returns (assigned(id, cell, u), centroids(cid, cu)).
     """
     u = with_unit_vectors(emb, vec_col, "u").select(F.col(id_col).alias("id"), "u")
-    total = emb.count()
-    step = max(total // n_centroids, 1)
+    hk = "cast(conv(substr(md5(cast(id as string)),1,15),16,10) as bigint)"
     cents = (
-        u.where(F.col("id") % step == 0)
-        .select(F.col("id").alias("cid"), F.col("u").alias("cu"))
-        .orderBy("cid")
+        u.orderBy(F.expr(hk), F.col("id"))
         .limit(n_centroids)
+        .select(F.col("id").alias("cid"), F.col("u").alias("cu"))
     )
     dot = _dot_expr("u", "cu")
 

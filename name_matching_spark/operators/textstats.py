@@ -89,20 +89,42 @@ def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, pred_lang, lang_score): stopword-profile argmax with
-    deterministic tie-break on language code."""
+    deterministic tie-break on language code.
+
+    ``zh`` is scored by CJK CHARACTER ratio, not stopword tokens: real
+    Chinese text is unsegmented, so a whitespace token never equals a
+    single-character profile entry and a token-based zh profile is dead
+    code (every Chinese doc would tie at 0 and fall to the first language
+    code). A doc matching NO profile is labeled ``und`` (unknown), not the
+    alphabetically-first language."""
     toks = f"filter(split(lower({text_col}), ' '), t -> t <> '')"
     hits = [
         F.expr(
             f"size(filter({toks}, t -> array_contains({_arr(ws)}, t)))"
         ).alias(f"_h_{lang}")
         for lang, ws in sorted(LANG_PROFILES.items())
+        if lang != "zh"
     ]
-    d = docs.select(id_col, F.expr(f"size({toks})").alias("_n"), *hits)
+    cjk = (
+        f"CASE WHEN length({text_col}) > 0 THEN "
+        f"round(length(regexp_replace({text_col}, '[^一-鿿]', '')) / length({text_col}), 6) "
+        "ELSE 0.0 END"
+    )
+    d = docs.select(
+        id_col,
+        F.expr(f"size({toks})").alias("_n"),
+        F.expr(cjk).alias("_s_zh"),
+        *hits,
+    )
     scores = F.expr(
         "array("
         + ",".join(
-            f"named_struct('lang', '{lang}', 'score', "
-            f"CASE WHEN _n > 0 THEN round(_h_{lang} / _n, 6) ELSE 0.0 END)"
+            (
+                f"named_struct('lang', '{lang}', 'score', _s_zh)"
+                if lang == "zh"
+                else f"named_struct('lang', '{lang}', 'score', "
+                f"CASE WHEN _n > 0 THEN round(_h_{lang} / _n, 6) ELSE 0.0 END)"
+            )
             for lang in sorted(LANG_PROFILES)
         )
         + ")"
@@ -117,7 +139,9 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .withColumn("_best", F.expr(best))
         .select(
             id_col,
-            F.col("_best.lang").alias("pred_lang"),
+            F.when(F.col("_best.score") > 0.0, F.col("_best.lang"))
+            .otherwise(F.lit("und"))
+            .alias("pred_lang"),
             F.col("_best.score").alias("lang_score"),
         )
     )
@@ -134,20 +158,13 @@ def fingerprints(
     keep hashes ≡ 0 (mod ``mod``). The classic 0-mod-p document sketch
     (winnowing's simpler cousin): ~1/mod of the shingles survive, matching
     shingles always produce matching fingerprints across documents."""
-    toks = f"filter(split({text_col}, ' '), t -> t <> '')"
-    # sequence(1, 0) descends in Spark — guard short docs explicitly
-    sh = (
-        f"IF(size({toks}) >= {n}, "
-        f"transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> array_join(slice({toks}, i, {n}), ' ')), "
-        f"CAST(array() AS array<string>))"
-    )
-    h = md5_int_expr("shingle")
+    from .dedup import word_shingles
+
+    sh = word_shingles(docs, text_col, id_col, n)
     return (
-        docs.select(F.col(id_col), F.explode(F.expr(sh)).alias("shingle"))
-        .withColumn("fp", F.expr(h))
+        sh.withColumn("fp", F.expr(md5_int_expr("shingle")))
         .where(F.col("fp") % mod == 0)
-        .select(id_col, "fp")
+        .select(F.col("id").alias(id_col), "fp")
         .distinct()
     )
 
@@ -181,15 +198,10 @@ def stratified_sample(
             f"{strata_col} string, _rate double",
         )
     )
-    h = (
-        f"conv(substr(md5(concat('{seed}', ':', cast({id_col} as string))), 1, 15), 16, 10)"
-    )
+    h = md5_int_expr(f"concat('{seed}', ':', cast({id_col} as string))")
     return (
         docs.join(rate_df, strata_col, "left")
         .withColumn("_rate", F.coalesce("_rate", F.lit(float(default_rate))))
-        .where(
-            F.expr(f"pmod(cast({h} as bigint), 1000000)")
-            < F.col("_rate") * 1000000
-        )
+        .where(F.expr(f"pmod({h}, 1000000)") < F.col("_rate") * 1000000)
         .drop("_rate")
     )
