@@ -689,13 +689,21 @@ def q_cutoff_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # display rounding happens HERE, not in the operator (the operator
     # returns the unrounded midpoint so it can never cross an adjacent
     # score); scores are 3-decimal buckets, so round 6 is lossless
-    return depth1_split_df(scored).select(
-        F.round("cutoff", 6).alias("cutoff")
-    ).crossJoin(
-        accept_threshold_df(scored, target_precision=0.9).select(
-            F.round("accept", 6).alias("accept_thr")
+    out = (
+        depth1_split_df(scored)
+        .select(F.round("cutoff", 6).alias("cutoff"))
+        .crossJoin(
+            accept_threshold_df(scored, target_precision=0.9).select(
+                F.round("accept", 6).alias("accept_thr")
+            )
         )
     )
+    # both consumers are 1-row scalars: realize them now so the cache can
+    # be released before returning (a long-lived contract session would
+    # otherwise leak one cached table per run)
+    row = out.collect()[0]
+    scored.unpersist()
+    return spark.createDataFrame([row], out.schema)
 
 
 def o_cutoff_split() -> str:

@@ -290,6 +290,43 @@ def minhash_band_keys(
     )
 
 
+def char_shingle_band_keys(
+    names: DataFrame,
+    text_col: str,
+    name_col: str = "name",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    seed: int = 777,
+) -> DataFrame:
+    """MinHash-LSH band keys over CHARACTER n-grams of ``text_col`` — the
+    recall amplifier for Jaro-close pairs whose every token-level key
+    differs. A single-character typo in the FIRST token defeats
+    first-token, double-metaphone and token-LSH blocking simultaneously
+    ("FASIWESNIRAR GAS" vs "FABSIWESNIRAR ENERGY" shares no usable token);
+    char shingles survive single-char edits, so char-shingle LSH is the
+    natural blocker for a Jaro/edit-distance channel.
+
+    r = num_hashes/bands rows per band; collision probability for
+    char-shingle Jaccard J is 1-(1-J^r)^bands — at the default r=2, b=6:
+    0.82 at J=0.5, 0.98 at J=0.7 (Jaro distance ≤ 0.15 pairs sit well
+    above J=0.5 in trigram space). Hot keys (short names, shared
+    suffixes) are bounded downstream by pairs_from_index's cap-and-split.
+
+    Added for the round-5 blocking-recall harness (recall.py): the
+    exhaustive sf0.001 cross-check showed the ft ∪ mp ∪ token-LSH union
+    transitively connecting only 94.5% of same-entity pairs, every miss a
+    first-token typo — this family closes that class."""
+    sh = (
+        f"transform(sequence(1, greatest(char_length({text_col}) - {n - 1}, 0)), "
+        f"i -> substring({text_col}, i, {n}))"
+    )
+    with_sh = names.withColumn("_csh", F.array_distinct(F.expr(sh)))
+    return minhash_band_keys(
+        with_sh, "_csh", name_col, num_hashes=num_hashes, bands=bands, seed=seed
+    )
+
+
 def union_candidate_pairs(*pair_dfs: DataFrame) -> DataFrame:
     """Distinct canonical pair keys from any number of channels."""
     out = None

@@ -228,6 +228,12 @@ def simhash_near_pairs(
     bands ≤ hamming ≤ max_hamming would be SILENTLY missed (every band
     differs, no collision) while the output contract promises them."""
     need = max_hamming + 1
+    if need > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {need} bands but simhash has "
+            f"only {bits} bits — no banding can cover that radius "
+            "(pigeonhole needs bands >= max_hamming + 1, bands <= bits)"
+        )
     if bands < need:
         bands = next(b for b in range(need, bits + 1) if bits % b == 0)
     width = bits // bands

@@ -31,6 +31,7 @@ from .constants import COSINE_THRESHOLD, JARO_THRESHOLD
 from .session import materialize, persist_now
 from .functions.normalize import canonical_pair, with_clean_name, with_word_bag
 from .operators.blocking import (
+    char_shingle_band_keys,
     first_token_key,
     minhash_band_keys,
     pairs_from_index,
@@ -107,7 +108,13 @@ def jaro_candidates(
     lsh = minhash_band_keys(
         nonempty, "bag_clean", num_hashes=lsh_hashes, bands=lsh_bands
     ).select("name", F.concat(F.lit("lsh:"), F.col("band_key")).alias("bkey"))
-    index = ft.unionByName(mp).unionByName(lsh).distinct()
+    # char-shingle LSH: the only family that survives a typo in the first
+    # token (which defeats ft, mp AND token-LSH at once) — found and
+    # quantified by the blocking-recall harness (recall.py, RECALL_r05)
+    csh = char_shingle_band_keys(nonempty, "clean_name").select(
+        "name", F.concat(F.lit("csh:"), F.col("band_key")).alias("bkey")
+    )
+    index = ft.unionByName(mp).unionByName(lsh).unionByName(csh).distinct()
     pairs, dropped = pairs_from_index(index, "bkey", max_block=max_block, registry=registry)
     return pairs.select("name", "match").distinct(), dropped
 

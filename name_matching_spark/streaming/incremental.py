@@ -199,6 +199,25 @@ def start_incremental_assign(
     (cap + reconciled singletons); the cap still blocks further growth."""
     seed_bc = None
     if initial_reps is not None:
+        # the seed is consulted only when state.exists is False, so on a
+        # restart over an EXISTING checkpoint it is silently ignored for
+        # every key that already holds state (reconciled singletons on
+        # at-cap keys keep re-overflowing). Make that visible instead of
+        # letting the caller believe the seed took effect.
+        if os.path.isdir(checkpoint_dir) and any(
+            e not in (".", "..") for e in os.listdir(checkpoint_dir)
+        ):
+            import warnings
+
+            warnings.warn(
+                "start_incremental_assign: initial_reps was passed with an "
+                "existing non-empty checkpoint_dir — the seed applies only "
+                "to keys with no prior state. Use a fresh checkpoint (or "
+                "start_incremental_assign_tws, whose initial state merges "
+                "through the state store) to seed every key.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         seed_map: dict[str, tuple] = {}
         for r in initial_reps.select("block_key", "rep").collect():
             seed_map.setdefault(r["block_key"], []).append(r["rep"])
@@ -511,7 +530,12 @@ def reconcile_overflow(
         F.when(F.col("_d") <= jaro_threshold, F.col("_d"))
         .otherwise(F.lit(0.0))
         .alias("jaro_distance"),
-        (~(F.col("_d") <= jaro_threshold)).alias("is_new_cluster"),
+        # a left-join miss (no rep on the block key at all) is a NEW
+        # cluster, not NULL: ~(NULL <= thr) is NULL and a consumer
+        # filtering where(is_new_cluster) would silently drop the row
+        F.coalesce(~(F.col("_d") <= jaro_threshold), F.lit(True)).alias(
+            "is_new_cluster"
+        ),
         F.lit(False).alias("overflow"),
     )
     out_dir = os.path.join(table_dir, "assignments")

@@ -77,9 +77,9 @@ def start_name_ingest(
         # itself away to an empty partial.
         batch = incoming.dropDuplicates(["_h"])
         prior = [
-            os.path.join(seen_dir, d)
-            for d in (os.listdir(seen_dir) if os.path.isdir(seen_dir) else [])
-            if _BATCH_RE.fullmatch(d) and d != f"batch_id={batch_id}"
+            p
+            for p in _live_paths(seen_dir)
+            if not p.endswith(f"batch_id={batch_id}")
         ]
         if prior:
             seen = spark.read.parquet(*prior).select(
@@ -116,16 +116,12 @@ def start_name_ingest(
     return writer.start()
 
 
-def _live_count_paths(counts_dir: str) -> list[str]:
-    """The directories a consistent read covers: the LATEST compacted
-    generation (``gen=<W>``, which folds every batch id ≤ W) plus the
-    batch partials with id > W. Batch dirs at or below the generation
-    watermark are superseded garbage (a crash may leave them behind;
-    the next compaction collects them) and are never read — that is what
-    makes the compaction commit atomic for readers."""
+def _scan_log_dir(log_dir: str) -> tuple[dict[int, str], dict[int, str]]:
+    """(batch partials by id, compacted generations by watermark) under a
+    log-structured table directory."""
     batches: dict[int, str] = {}
     gens: dict[int, str] = {}
-    for d in os.listdir(counts_dir) if os.path.isdir(counts_dir) else []:
+    for d in os.listdir(log_dir) if os.path.isdir(log_dir) else []:
         m = _BATCH_RE.fullmatch(d)
         if m:
             batches[int(m.group(1))] = d
@@ -133,21 +129,70 @@ def _live_count_paths(counts_dir: str) -> list[str]:
         m = _CGEN_RE.fullmatch(d)
         if m:
             gens[int(m.group(1))] = d
+    return batches, gens
+
+
+def _live_paths(log_dir: str) -> list[str]:
+    """The directories a consistent read covers: the LATEST compacted
+    generation (``gen=<W>``, which folds every batch id ≤ W) plus the
+    batch partials with id > W. Batch dirs at or below the generation
+    watermark are superseded garbage (a crash may leave them behind;
+    the next compaction collects them) and are never read — that is what
+    makes the compaction commit atomic for readers."""
+    batches, gens = _scan_log_dir(log_dir)
     w = max(gens) if gens else None
-    paths = [os.path.join(counts_dir, gens[w])] if w is not None else []
+    paths = [os.path.join(log_dir, gens[w])] if w is not None else []
     paths += [
-        os.path.join(counts_dir, d)
+        os.path.join(log_dir, d)
         for b, d in sorted(batches.items())
         if w is None or b > w
     ]
     return paths
 
 
+def _compact_log_dir(spark: SparkSession, log_dir: str, fold_agg) -> None:
+    """Shared compaction machinery (see ``compact_name_counts`` for the
+    atomicity/replay argument): fold the current generation + all durable
+    batch partials (never the highest id — possibly an uncommitted
+    in-flight write that a restarted stream will REPLAY) into a new
+    ``gen=<W>`` committed by one atomic rename, then sweep superseded dirs.
+    ``fold_agg(df) -> df`` collapses the unioned partials."""
+    if not os.path.isdir(log_dir):
+        return
+    batches, gens = _scan_log_dir(log_dir)
+    old_w = max(gens) if gens else None
+    # garbage collection: dirs a PREVIOUS compaction superseded but a crash
+    # left unswept (readers already ignore both)
+    for b in [b for b in batches if old_w is not None and b <= old_w]:
+        shutil.rmtree(os.path.join(log_dir, batches.pop(b)))
+    for g in [g for g in gens if old_w is not None and g < old_w]:
+        shutil.rmtree(os.path.join(log_dir, gens.pop(g)))
+    live = sorted(batches)
+    fold = live[:-1]  # never the highest id: possibly in-flight
+    if not fold:
+        return
+    new_w = max(fold)
+    srcs = ([os.path.join(log_dir, gens[old_w])] if old_w is not None else []) + [
+        os.path.join(log_dir, batches[b]) for b in fold
+    ]
+    agg = fold_agg(spark.read.parquet(*srcs))
+    tmp = os.path.join(os.path.dirname(log_dir), "_compacting_" + os.path.basename(log_dir))
+    if os.path.isdir(tmp):  # leftover scratch from a crashed compaction
+        shutil.rmtree(tmp)
+    agg.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(log_dir, f"gen={new_w}"))  # the commit
+    # post-commit sweep of superseded dirs (readers already ignore them)
+    for b in fold:
+        shutil.rmtree(os.path.join(log_dir, batches[b]))
+    if old_w is not None:
+        shutil.rmtree(os.path.join(log_dir, gens[old_w]))
+
+
 def read_name_counts(spark: SparkSession, table_dir: str) -> DataFrame:
     """(name, n) — aggregate of the log-structured partials (latest
     compacted generation + newer batch partials)."""
     partials = spark.read.parquet(
-        *_live_count_paths(os.path.join(table_dir, "name_counts"))
+        *_live_paths(os.path.join(table_dir, "name_counts"))
     )
     return partials.groupBy("name").agg(F.sum("n").alias("n"))
 
@@ -160,7 +205,7 @@ def new_names_since(
     which compaction preserves (min per name), so the frontier survives
     compaction (ADVICE r1)."""
     partials = spark.read.parquet(
-        *_live_count_paths(os.path.join(table_dir, "name_counts"))
+        *_live_paths(os.path.join(table_dir, "name_counts"))
     )
     first_seen = partials.groupBy("name").agg(F.min("first_batch").alias("first_batch"))
     return first_seen.where(F.col("first_batch") > since_batch).select("name")
@@ -170,7 +215,7 @@ def compact_name_counts(spark: SparkSession, table_dir: str) -> None:
     """Maintenance: fold the current generation + a snapshot of batch
     partials into a NEW compacted generation ``gen=<W>`` (W = highest
     folded batch id), committed by one atomic rename. Readers take the
-    latest generation plus batch ids > W (``_live_count_paths``), so:
+    latest generation plus batch ids > W (``_live_paths``), so:
 
     - the commit is ATOMIC for concurrent readers — before the rename they
       read the old generation + partials, after it the new generation
@@ -189,50 +234,32 @@ def compact_name_counts(spark: SparkSession, table_dir: str) -> None:
     First-seen provenance is aggregated into the generation
     (min(first_batch) per name), so ``new_names_since`` keeps working
     across compactions. Safe to run against a live stream."""
-    counts_dir = os.path.join(table_dir, "name_counts")
-    if not os.path.isdir(counts_dir):
-        return
-    batches: dict[int, str] = {}
-    gens: dict[int, str] = {}
-    for d in os.listdir(counts_dir):
-        m = _BATCH_RE.fullmatch(d)
-        if m:
-            batches[int(m.group(1))] = d
-            continue
-        m = _CGEN_RE.fullmatch(d)
-        if m:
-            gens[int(m.group(1))] = d
-    old_w = max(gens) if gens else None
-    # garbage collection: dirs a PREVIOUS compaction superseded but a crash
-    # left unswept — batch ids ≤ the current watermark and older gens
-    # (readers already ignore both)
-    for b in [b for b in batches if old_w is not None and b <= old_w]:
-        shutil.rmtree(os.path.join(counts_dir, batches.pop(b)))
-    for g in [g for g in gens if old_w is not None and g < old_w]:
-        shutil.rmtree(os.path.join(counts_dir, gens.pop(g)))
-    live = sorted(batches)
-    fold = live[:-1]  # never the highest id: possibly in-flight (docstring)
-    if not fold:
-        return
-    new_w = max(fold)
-    srcs = ([os.path.join(counts_dir, gens[old_w])] if old_w is not None else []) + [
-        os.path.join(counts_dir, batches[b]) for b in fold
-    ]
-    agg = (
-        spark.read.parquet(*srcs)
-        .groupBy("name")
-        .agg(F.sum("n").alias("n"), F.min("first_batch").alias("first_batch"))
+    _compact_log_dir(
+        spark,
+        os.path.join(table_dir, "name_counts"),
+        lambda df: df.groupBy("name").agg(
+            F.sum("n").alias("n"), F.min("first_batch").alias("first_batch")
+        ),
     )
-    tmp = os.path.join(table_dir, "_compacting")
-    if os.path.isdir(tmp):  # leftover scratch from a crashed compaction
-        shutil.rmtree(tmp)
-    agg.write.mode("overwrite").parquet(tmp)
-    os.rename(tmp, os.path.join(counts_dir, f"gen={new_w}"))  # the commit
-    # post-commit sweep of superseded dirs (readers already ignore them)
-    for b in fold:
-        shutil.rmtree(os.path.join(counts_dir, batches[b]))
-    if old_w is not None:
-        shutil.rmtree(os.path.join(counts_dir, gens[old_w]))
+
+
+def compact_docs_seen(spark: SparkSession, table_dir: str) -> None:
+    """Maintenance: fold the ``docs_seen`` registry partials into one
+    compacted generation. Without this the registry gains one directory
+    per micro-batch and the ingest sink's anti-join re-lists and re-reads
+    every prior batch dir on each micro-batch — per-batch dedup cost grows
+    linearly with stream lifetime (O(B²) cumulative read volume). After
+    compaction the sink reads one generation + the handful of batch
+    partials newer than its watermark. One row per content_hash survives
+    (min(doc_id) as the first-sighting provenance, matching the
+    within-batch dropDuplicates semantics). Safe against a live stream:
+    same atomic gen-rename + never-fold-the-highest-id rules as
+    ``compact_name_counts``."""
+    _compact_log_dir(
+        spark,
+        os.path.join(table_dir, "docs_seen"),
+        lambda df: df.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id")),
+    )
 
 
 # ---------------------------------------------------------------------------

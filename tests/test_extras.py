@@ -74,6 +74,12 @@ def test_simhash(docs):
     assert got[(0, 1)] == 0
     assert got.get((0, 2), 99) <= 6  # actual hamming is 5
     assert (0, 4) not in got
+    # degenerate config: radius not coverable by any banding of `bits`
+    # must fail loudly, not raise a bare StopIteration (ADVICE r4)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(sims, bits=8, bands=2, max_hamming=8)
 
 
 def test_cosine_topk_and_ann(spark):

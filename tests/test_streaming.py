@@ -3,6 +3,7 @@
 import os
 
 from name_matching_spark.streaming.ingest import (
+    compact_docs_seen,
     compact_name_counts,
     new_names_since,
     read_name_counts,
@@ -62,6 +63,30 @@ def test_incremental_ingest(spark, tmp_path):
         r["name"] for r in new_names_since(spark, table, max_batch).collect()
     }
     assert frontier_after == {"CREST LLC"}
+
+    # docs_seen registry compaction (ADVICE r4): folds batch partials into
+    # one generation (bounding the sink's per-batch anti-join read set) and
+    # MUST keep suppressing duplicates of pre-compaction documents
+    seen_dir = os.path.join(table, "docs_seen")
+    assert len([d for d in os.listdir(seen_dir) if d.startswith("batch_id=")]) == 2
+    compact_docs_seen(spark, table)
+    dirs_after = os.listdir(seen_dir)
+    assert any(d.startswith("gen=") for d in dirs_after)
+    # never folds the highest batch id (possibly in-flight under replay)
+    assert len([d for d in dirs_after if d.startswith("batch_id=")]) == 1
+    seen_rows = spark.read.parquet(*[
+        os.path.join(seen_dir, d) for d in dirs_after if not d.startswith("_")
+    ])
+    assert seen_rows.count() == 3  # one row per distinct content hash
+
+    _write_docs(spark, src, [
+        ("d1dup", [_span("ACME OIL"), _span("BOLT GAS")]),  # dup of d1 (pre-compaction)
+        ("d4", [_span("DELTA CO")]),
+    ])
+    q3 = start_name_ingest(spark, src, table, ckpt)
+    q3.awaitTermination(120)
+    counts4 = {r["name"]: r["n"] for r in read_name_counts(spark, table).collect()}
+    assert counts4 == {"ACME OIL": 3, "BOLT GAS": 1, "CREST LLC": 1, "DELTA CO": 1}
 
 
 def _ts_span_docs(spark, path, rows):
@@ -399,6 +424,30 @@ def test_seeded_restart_closes_reoverflow(spark, tmp_path):
             s, src, t, c, max_reps_per_key=2, initial_reps=seed
         ),
     )
+
+
+def test_seed_with_existing_checkpoint_warns(spark, tmp_path):
+    # the broadcast seed applies only to keys with NO prior state, so
+    # passing initial_reps on a restart over an existing checkpoint is a
+    # silent no-op for every stateful key — it must WARN (ADVICE r4)
+    import pytest
+
+    from name_matching_spark.streaming.incremental import (
+        rep_state,
+        start_incremental_assign,
+    )
+
+    src = str(tmp_path / "wsrc")
+    table = str(tmp_path / "wtable")
+    ckpt = str(tmp_path / "wckpt")
+    _write_docs(spark, src, [("d0", [_span("KATO ENERGY")])])
+    q = start_incremental_assign(spark, src, table, ckpt)
+    q.awaitTermination(120)
+    with pytest.warns(RuntimeWarning, match="existing non-empty checkpoint"):
+        q2 = start_incremental_assign(
+            spark, src, table, ckpt, initial_reps=rep_state(spark, table)
+        )
+    q2.awaitTermination(120)
 
 
 def test_tws_seeded_restart_closes_reoverflow(spark, tmp_path):
