@@ -32,6 +32,11 @@ def get_spark(
     scale this is overridden to ~2-3x total cores via ``extra_conf`` or
     left to AQE coalescing.
     """
+    # must precede JVM launch: driver-side streaming python runners
+    # (transformWithState pre-init) read PYTHONPATH from the JVM env
+    from .vendor import ensure_worker_pythonpath
+
+    ensure_worker_pythonpath()
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"

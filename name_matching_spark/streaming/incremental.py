@@ -383,11 +383,14 @@ def start_incremental_assign_tws(
     at-scale restart path.
 
     Requires the RocksDB state store (transformWithState does not run on
-    the HDFS-backed provider) and the ``protobuf`` package (the
-    transformWithState state protocol is protobuf-encoded; import-gated
-    per environment — absent in this sandbox, so the covering test is
-    ``importorskip``-guarded and the broadcast-seeded twin carries the
-    in-sandbox evidence).
+    the HDFS-backed provider) and a ``google.protobuf`` runtime (the
+    transformWithState state protocol is protobuf-encoded). Environments
+    without the protobuf package fall back to the vendored minimal
+    clean-room runtime (``name_matching_spark.vendor.ensure_protobuf``),
+    which is shipped to executor Python workers via ``addPyFile`` — so
+    this path runs everywhere and is the documented default for rep
+    universes beyond the broadcast-seed bound of
+    ``start_incremental_assign``.
 
     Side effect, deliberate and documented: the state-store provider is a
     SESSION conf (Spark has no per-query override), so this sets it to
@@ -395,15 +398,9 @@ def start_incremental_assign_tws(
     mid-query would hand later micro-batch replans a different provider.
     If ``start()`` fails, the previous value IS restored, so a failed
     attempt never contaminates unrelated queries."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise RuntimeError(
-            "transformWithStateInPandas needs the `protobuf` package "
-            "(pyspark's state-server protocol); install it or use "
-            "start_incremental_assign(initial_reps=...) — same semantics, "
-            "broadcast-distributed seed"
-        ) from e
+    from ..vendor import ensure_protobuf
+
+    ensure_protobuf(spark)
     conf_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(conf_key, None)
     spark.conf.set(

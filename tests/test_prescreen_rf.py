@@ -88,6 +88,69 @@ def test_rf_fixed_seed_deterministic(spark):
     assert preds[0] == preds[1]
 
 
+def test_rf_frozen_export_numpy_parity(spark, tmp_path):
+    """VERDICT r4 item 4 (the last non-oracled component): export the
+    trained forest through Spark ML's own persistence (tree nodes land as
+    plain parquet under <model>/data) and RE-EVALUATE every prediction in
+    numpy by walking the frozen trees — an engine-independent re-execution
+    of the model, the same trust structure as the DuckDB oracles. Pins
+    rf_predict within 1e-9 on both the training frame and fresh probes, so
+    scorer drift (feature order, split semantics, vote averaging) is
+    caught in CI like everything else."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+
+    train = _training_frame(spark).cache()
+    assembler, model = train_rf(train, num_trees=50, seed=42)
+    path = str(tmp_path / "rf_model")
+    model.write().overwrite().save(path)
+
+    nodes = pd.concat(
+        [pd.read_parquet(p) for p in sorted(glob.glob(path + "/data/*.parquet"))]
+    )
+    trees: dict[int, dict[int, dict]] = {}
+    for rec in nodes.itertuples(index=False):
+        nd = rec.nodeData
+        trees.setdefault(rec.treeID, {})[nd["id"]] = nd
+
+    def tree_predict(tree: dict[int, dict], x: np.ndarray) -> float:
+        node = tree[0]
+        while node["leftChild"] != -1:
+            split = node["split"]
+            fi = split["featureIndex"]
+            assert split["numCategories"] == -1, "continuous splits only"
+            thr = split["leftCategoriesOrThreshold"][0]
+            node = tree[node["leftChild"] if x[fi] <= thr else node["rightChild"]]
+        return node["prediction"]
+
+    def forest_predict(x: np.ndarray) -> float:
+        # RandomForestRegressor: unweighted mean of tree predictions
+        return sum(tree_predict(t, x) for t in trees.values()) / len(trees)
+
+    probe = train.select("name", "match", *_RF_FEATURES).unionByName(
+        spark.createDataFrame(
+            [
+                ("fresh_hi", "h", 4.0, 0.95, 0.02, 1.0, 4, 30.0, 0.95),
+                ("fresh_lo", "l", 0.0, 0.05, 0.45, 1.0, 4, 10.0, 0.05),
+            ],
+            "name string, match string, shared_words double, "
+            "cosine_similarity double, jw_distance double, "
+            "human_jw_distance double, word_count int, sum_n double, "
+            "token_sim double",
+        )
+    )
+    got = rf_predict(probe, assembler, model).select("name", *_RF_FEATURES, "rf_prob")
+    rows = got.collect()
+    assert len(rows) > 100
+    max_diff = 0.0
+    for r in rows:
+        x = np.array([float(r[c]) for c in _RF_FEATURES])
+        max_diff = max(max_diff, abs(forest_predict(x) - r["rf_prob"]))
+    assert max_diff <= 1e-9, max_diff
+
+
 def test_percentiles_approx_close_to_exact(spark):
     # scale switch (VERDICT r1 item 4): the sketch lands within one count
     # unit of the exact interpolated percentile on a realistic distribution

@@ -453,11 +453,9 @@ def test_seed_with_existing_checkpoint_warns(spark, tmp_path):
 def test_tws_seeded_restart_closes_reoverflow(spark, tmp_path):
     # same semantics through Spark 4's transformWithStateInPandas, whose
     # initialState hook distributes the seed via the state store itself —
-    # the at-scale restart path; its protobuf-encoded state protocol is
-    # absent in this sandbox, so this covering test self-skips there
-    import pytest
-
-    pytest.importorskip("google.protobuf")
+    # the at-scale restart path. The protobuf-encoded state protocol runs
+    # on the vendored minimal runtime where the protobuf package is
+    # absent (name_matching_spark/vendor/pbshim), so this no longer skips
     from name_matching_spark.streaming.incremental import (
         start_incremental_assign_tws,
     )
