@@ -317,9 +317,14 @@ def char_shingle_band_keys(
     exhaustive sf0.001 cross-check showed the ft ∪ mp ∪ token-LSH union
     transitively connecting only 94.5% of same-entity pairs, every miss a
     first-token typo — this family closes that class."""
+    # names shorter than n must yield an EMPTY shingle set (minhash_band_keys'
+    # size>0 filter then excludes them). NB sequence(1, 0) in Spark DESCENDS
+    # to [1, 0] rather than being empty, so the bound is clamped to >= 1 and
+    # undersized shingles (only possible when char_length < n) are filtered
+    # by length instead.
     sh = (
-        f"transform(sequence(1, greatest(char_length({text_col}) - {n - 1}, 0)), "
-        f"i -> substring({text_col}, i, {n}))"
+        f"filter(transform(sequence(1, greatest(char_length({text_col}) - {n - 1}, 1)), "
+        f"i -> substring({text_col}, i, {n})), s -> char_length(s) = {n})"
     )
     with_sh = names.withColumn("_csh", F.array_distinct(F.expr(sh)))
     return minhash_band_keys(

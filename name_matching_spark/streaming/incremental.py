@@ -204,9 +204,7 @@ def start_incremental_assign(
         # every key that already holds state (reconciled singletons on
         # at-cap keys keep re-overflowing). Make that visible instead of
         # letting the caller believe the seed took effect.
-        if os.path.isdir(checkpoint_dir) and any(
-            e not in (".", "..") for e in os.listdir(checkpoint_dir)
-        ):
+        if os.path.isdir(checkpoint_dir) and os.listdir(checkpoint_dir):
             import warnings
 
             warnings.warn(
@@ -363,6 +361,7 @@ def start_incremental_assign_tws(
     trigger_available_now: bool = True,
     max_reps_per_key: int = 512,
     initial_reps: DataFrame | None = None,
+    ship_pbshim_to_executors: bool | None = None,
 ):
     """``transformWithStateInPandas`` twin of ``start_incremental_assign``.
 
@@ -390,7 +389,10 @@ def start_incremental_assign_tws(
     which is shipped to executor Python workers via ``addPyFile`` — so
     this path runs everywhere and is the documented default for rep
     universes beyond the broadcast-seed bound of
-    ``start_incremental_assign``.
+    ``start_incremental_assign``. On a heterogeneous cluster whose
+    DRIVER has protobuf but whose executor images lack it, pass
+    ``ship_pbshim_to_executors=True`` (the auto default only ships when
+    the driver itself needed the shim — see ``ensure_protobuf``).
 
     Side effect, deliberate and documented: the state-store provider is a
     SESSION conf (Spark has no per-query override), so this sets it to
@@ -400,7 +402,7 @@ def start_incremental_assign_tws(
     attempt never contaminates unrelated queries."""
     from ..vendor import ensure_protobuf
 
-    ensure_protobuf(spark)
+    ensure_protobuf(spark, ship_to_executors=ship_pbshim_to_executors)
     conf_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(conf_key, None)
     spark.conf.set(

@@ -155,14 +155,27 @@ def _compact_log_dir(spark: SparkSession, log_dir: str, fold_agg) -> None:
     atomicity/replay argument): fold the current generation + all durable
     batch partials (never the highest id — possibly an uncommitted
     in-flight write that a restarted stream will REPLAY) into a new
-    ``gen=<W>`` committed by one atomic rename, then sweep superseded dirs.
-    ``fold_agg(df) -> df`` collapses the unioned partials."""
+    ``gen=<W>`` committed by one atomic rename. ``fold_agg(df) -> df``
+    collapses the unioned partials.
+
+    Superseded dirs are NOT swept here — they are collected by the NEXT
+    compaction run (the garbage-collection step below). The one-cycle lag
+    is what makes compaction safe against concurrent readers: a reader
+    (including the live ingest sink's anti-join) lists ``_live_paths``
+    once and reads those directories lazily during its job; an immediate
+    post-commit sweep would delete files out from under any read that was
+    in flight across the commit. Deferring the sweep one compaction cycle
+    gives every in-flight read a full cycle of grace, at the cost of one
+    generation of garbage on disk between runs. (Readers never LIST the
+    superseded dirs — ``_live_paths`` takes the latest generation plus
+    newer partials only — so correctness never depends on the sweep.)"""
     if not os.path.isdir(log_dir):
         return
     batches, gens = _scan_log_dir(log_dir)
     old_w = max(gens) if gens else None
-    # garbage collection: dirs a PREVIOUS compaction superseded but a crash
-    # left unswept (readers already ignore both)
+    # garbage collection: dirs the PREVIOUS compaction superseded (left
+    # behind deliberately — see the grace-period note above) or a crash
+    # left unswept. Readers already ignore both.
     for b in [b for b in batches if old_w is not None and b <= old_w]:
         shutil.rmtree(os.path.join(log_dir, batches.pop(b)))
     for g in [g for g in gens if old_w is not None and g < old_w]:
@@ -181,11 +194,8 @@ def _compact_log_dir(spark: SparkSession, log_dir: str, fold_agg) -> None:
         shutil.rmtree(tmp)
     agg.write.mode("overwrite").parquet(tmp)
     os.rename(tmp, os.path.join(log_dir, f"gen={new_w}"))  # the commit
-    # post-commit sweep of superseded dirs (readers already ignore them)
-    for b in fold:
-        shutil.rmtree(os.path.join(log_dir, batches[b]))
-    if old_w is not None:
-        shutil.rmtree(os.path.join(log_dir, gens[old_w]))
+    # no post-commit sweep: the just-superseded dirs stay on disk until the
+    # next compaction so concurrent in-flight reads keep their files
 
 
 def read_name_counts(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -223,8 +233,9 @@ def compact_name_counts(spark: SparkSession, table_dir: str) -> None:
       no double-count window);
     - a crash at ANY point loses nothing: before the rename the scratch
       dir is invisible (and cleaned on the next run), after it the folded
-      batch dirs are superseded garbage that the post-commit sweep — or
-      the next compaction — removes;
+      batch dirs are superseded garbage that the NEXT compaction removes
+      (deferred one cycle so reads in flight across the commit keep their
+      files — see ``_compact_log_dir``);
     - the HIGHEST on-disk batch id is never folded: under foreachBatch's
       at-least-once contract it may be an uncommitted in-flight write
       that the restarted stream will REPLAY (overwriting its dir) —
@@ -254,7 +265,11 @@ def compact_docs_seen(spark: SparkSession, table_dir: str) -> None:
     (min(doc_id) as the first-sighting provenance, matching the
     within-batch dropDuplicates semantics). Safe against a live stream:
     same atomic gen-rename + never-fold-the-highest-id rules as
-    ``compact_name_counts``."""
+    ``compact_name_counts``, plus the one-cycle deferred sweep
+    (``_compact_log_dir``) — the sink's per-micro-batch anti-join lists
+    the registry once and reads it lazily, so the directories it listed
+    must survive until the NEXT compaction run, not just until this one's
+    commit. Run compactions no more often than the longest micro-batch."""
     _compact_log_dir(
         spark,
         os.path.join(table_dir, "docs_seen"),

@@ -204,3 +204,20 @@ def test_pairs_from_index_plan_shapes(spark):
     pairs_split, _ = pairs_from_index(idx, "token", max_block=3)
     ps = plan_of(pairs_split)
     assert "task_key" in ps             # split branch active under a hot cap
+
+
+def test_char_shingle_short_names_excluded(spark):
+    # names shorter than the shingle width must yield NO band keys —
+    # Spark's sequence(1, 0) DESCENDS to [1, 0] instead of being empty,
+    # so a naive bound gives a 2-char name a phantom 1-shingle set
+    # (regression for the round-5 review finding). Names >= n chars get
+    # keys; equal names always share all keys.
+    from name_matching_spark.operators.blocking import char_shingle_band_keys
+
+    df = spark.createDataFrame(
+        [("AB",), ("A",), ("",), ("ACME OIL",), ("ACME OIL",)], "name string"
+    ).withColumn("clean", F.col("name"))
+    keys = char_shingle_band_keys(df, "clean").collect()
+    assert all(len(r["name"]) >= 3 for r in keys)
+    acme = [r["band_key"] for r in keys if r["name"] == "ACME OIL"]
+    assert len(acme) == 12 and len(set(acme)) == 6  # both copies, 6 bands

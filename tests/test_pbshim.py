@@ -106,3 +106,81 @@ def test_unknown_fields_skipped():
 def test_enum_values_module_level():
     assert (sm.PRE_INIT, sm.CREATED, sm.INITIALIZED) == (0, 1, 2)
     assert (sm.DATA_PROCESSED, sm.TIMER_PROCESSED, sm.CLOSED) == (3, 4, 5)
+
+
+def test_reading_unset_submessage_does_not_mark_presence():
+    # real-protobuf semantics: a read returns a lazy view; presence (and
+    # oneof state) change only when the view is written through
+    cmd = sm.StateCallCommand(stateName="s")
+    _ = cmd.ttl.durationMs  # read-only traversal
+    assert not cmd.HasField("ttl")
+    assert b"s" in cmd.SerializeToString() and len(cmd.SerializeToString()) == 3
+
+
+def test_reading_unset_oneof_member_does_not_clear_sibling():
+    v = sm.ValueStateCall(stateName="s", get=sm.Get())
+    assert v.WhichOneof("method") == "get"
+    _ = v.valueStateUpdate  # inspect the other member without writing
+    _ = v.valueStateUpdate.value
+    assert v.WhichOneof("method") == "get"  # sibling survives the read
+    back = sm.ValueStateCall()
+    back.ParseFromString(v.SerializeToString())
+    assert back.WhichOneof("method") == "get"
+
+
+def test_pending_view_aliases_until_committed():
+    cmd = sm.StateCallCommand()
+    view = cmd.ttl
+    assert cmd.ttl is view  # repeated reads hand back the SAME view
+    view.durationMs = 7  # first write commits it
+    assert cmd.HasField("ttl") and cmd.ttl.durationMs == 7
+    assert cmd.ttl is view
+
+
+def test_stale_pending_view_detaches_on_sibling_assignment():
+    v = sm.ValueStateCall(stateName="s")
+    stale = v.valueStateUpdate  # pending view of one oneof member
+    v.get.CopyFrom(sm.Get())  # commit the OTHER member (CopyFrom modifies)
+    assert v.WhichOneof("method") == "get"
+    stale.value = b"z"  # write through the detached view
+    assert v.WhichOneof("method") == "get"  # must NOT steal the slot back
+
+
+def test_repeated_append_through_view_marks_presence():
+    resp = sm.StateResponseWithTimer()
+    resp.timer.add(key=b"k", timestampMs=3)
+    back = sm.StateResponseWithTimer()
+    back.ParseFromString(resp.SerializeToString())
+    assert [(t.key, t.timestampMs) for t in back.timer] == [(b"k", 3)]
+
+
+def test_shim_coexists_with_other_google_namespace_portions(tmp_path):
+    # the shim must not capture the 'google' name: with another PEP 420
+    # google.* portion ALREADY imported, ensure_protobuf() must still make
+    # google.protobuf importable AND leave the other portion importable
+    # (regression: a regular-package google/__init__.py in the shim made
+    # every other google.* distribution unimportable). Subprocess so the
+    # import order is controlled and this process's modules stay clean.
+    import os
+    import subprocess
+    import sys as _sys
+
+    import name_matching_spark
+
+    repo_root = os.path.dirname(os.path.dirname(name_matching_spark.__file__))
+    portion = tmp_path / "dist" / "google" / "fakeauth"
+    portion.mkdir(parents=True)
+    (portion / "__init__.py").write_text("VALUE = 42\n")
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(tmp_path / 'dist')!r})\n"
+        f"sys.path.insert(0, {repo_root!r})\n"
+        "import google.fakeauth\n"  # other portion wins 'google' first
+        "from name_matching_spark.vendor import ensure_protobuf\n"
+        "assert ensure_protobuf() == 'shim'\n"
+        "import google.protobuf\n"
+        "import google.fakeauth\n"
+        "assert google.fakeauth.VALUE == 42\n"
+    )
+    r = subprocess.run([_sys.executable, "-c", code], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr

@@ -70,13 +70,15 @@ def test_incremental_ingest(spark, tmp_path):
     seen_dir = os.path.join(table, "docs_seen")
     assert len([d for d in os.listdir(seen_dir) if d.startswith("batch_id=")]) == 2
     compact_docs_seen(spark, table)
-    dirs_after = os.listdir(seen_dir)
-    assert any(d.startswith("gen=") for d in dirs_after)
-    # never folds the highest batch id (possibly in-flight under replay)
-    assert len([d for d in dirs_after if d.startswith("batch_id=")]) == 1
-    seen_rows = spark.read.parquet(*[
-        os.path.join(seen_dir, d) for d in dirs_after if not d.startswith("_")
-    ])
+    from name_matching_spark.streaming.ingest import _live_paths
+
+    live_after = _live_paths(seen_dir)
+    assert any("gen=" in p for p in live_after)
+    # never folds the highest batch id (possibly in-flight under replay);
+    # the folded dir stays on disk one cycle (deferred sweep) but is NOT
+    # in the live read set
+    assert len([p for p in live_after if "batch_id=" in p]) == 1
+    seen_rows = spark.read.parquet(*live_after)
     assert seen_rows.count() == 3  # one row per distinct content hash
 
     _write_docs(spark, src, [
@@ -495,9 +497,18 @@ def test_compaction_replay_and_crash_safety(spark, tmp_path):
     before = {r["name"]: r["n"] for r in read_name_counts(spark, table).collect()}
     assert before == {"ACME OIL": 2, "BOLT GAS": 1}
 
+    # the live-reader grace contract: every path a reader listed BEFORE a
+    # compaction still exists AFTER its commit (the sweep is deferred one
+    # cycle), so a lazy read in flight across the commit cannot lose files
+    from name_matching_spark.streaming.ingest import _live_paths
+
+    listed_before = _live_paths(counts_dir)
     compact_name_counts(spark, table)
+    assert all(os.path.isdir(p) for p in listed_before)
     dirs = sorted(os.listdir(counts_dir))
-    assert "gen=0" in dirs and "batch_id=1" in dirs and "batch_id=0" not in dirs
+    # folded batch dir SURVIVES this commit (deferred sweep); readers
+    # ignore it (id <= W) and the NEXT compaction collects it
+    assert "gen=0" in dirs and "batch_id=1" in dirs and "batch_id=0" in dirs
     assert {r["name"]: r["n"] for r in read_name_counts(spark, table).collect()} == before
 
     # simulate an at-least-once REPLAY of the un-folded max batch: the
@@ -510,8 +521,8 @@ def test_compaction_replay_and_crash_safety(spark, tmp_path):
     )
     assert {r["name"]: r["n"] for r in read_name_counts(spark, table).collect()} == before
 
-    # simulate a crashed post-commit sweep: a superseded dir (id <= W)
-    # reappears — readers ignore it, the next compaction collects it
+    # a superseded dir (id <= W) holding garbage — readers ignore it, the
+    # next compaction collects it (same path covers a crash-interrupted GC)
     stale = os.path.join(counts_dir, "batch_id=0")
     spark.createDataFrame(
         [("ACME OIL", 99, 0)], "name string, n long, first_batch long"
