@@ -182,5 +182,12 @@ def test_shim_coexists_with_other_google_namespace_portions(tmp_path):
         "import google.fakeauth\n"
         "assert google.fakeauth.VALUE == 42\n"
     )
-    r = subprocess.run([_sys.executable, "-c", code], capture_output=True, text=True)
+    env = os.environ.copy()
+    # an earlier test's SparkSession may have exported the shim on
+    # PYTHONPATH (ensure_worker_pythonpath); strip it so the subprocess
+    # really exercises the fallback path, not an inherited install
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True, env=env
+    )
     assert r.returncode == 0, r.stderr
