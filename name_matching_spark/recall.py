@@ -21,6 +21,9 @@ tests/test_recall.py and recorded in RECALL_r{N}.json):
 - ``dedup_jaccard`` with max_df: exact over the SURVIVING shingle space,
   with every miss vs the unfiltered truth explained by a dropped hot
   shingle (the lineage the operator returns)
+- ``human_channel``   : the last-name-blocked self-join must equal the
+  Python double loop over the parts table; cross-surname exclusions are
+  the reference's design, counted not asserted
 
 Probabilistic channels (measured recall vs a numerically stated
 expectation):
@@ -609,6 +612,97 @@ def recall_jaro_channel(
     }
 
 
+def recall_human_channel(spark: SparkSession, sf_dir: str) -> dict:
+    """Human channel (``match_first_name``): EXACT over the last-name
+    block, with the cross-surname exclusion quantified.
+
+    The channel's semantics ARE surname-blocked (reference
+    match_names.R:498-516 joins on extracted last name), so the
+    correctness statement has two parts:
+
+    - **exactness**: the Spark inverted-index self-join over ``last_name``
+      must produce exactly the pair set a plain Python double loop over
+      the collected, independently-hash-oracled name-part table yields
+      ({both human, non-null equal last_name}). This is the blocked-join
+      twin of the simhash/jaccard checks — it would catch a key
+      normalization bug, a dropped-null bug, or an id-tie dedup bug in
+      the join, none of which the mirrored ``human_pairs`` oracle can see.
+    - **designed miss**: pairs with the SAME extracted first name but a
+      DIFFERENT last name are never candidates, by the reference's own
+      design (the pre-screen's cross-surname rule removes such matches
+      anyway); the count is reported, not asserted.
+
+    The input universe is synthesized deterministically from the
+    operator's own dictionaries (patterns: F L / L, F / initialed /
+    middle-named / nickname forms, plus companies that must be filtered
+    out) — the driver tables contain no human names (contract_human.py).
+    """
+    from .operators.human import FIRST_NAMES, NICKNAMES, SURNAMES, match_first_name
+
+    firsts, lasts = list(FIRST_NAMES), list(SURNAMES)
+    names: list[str] = []
+    for i, last in enumerate(lasts):
+        f1 = firsts[i % len(firsts)]
+        f2 = firsts[(i * 7 + 3) % len(firsts)]
+        names += [
+            f"{f1} {last}",
+            f"{f2} {last}",
+            f"{f1[0]} {last}",
+            f"{last}, {f2}",
+            f"{f1} {f2[0]} {last}",
+        ]
+    for i, (std, nick) in enumerate(sorted(NICKNAMES)[:20]):
+        last = lasts[(i * 5 + 2) % len(lasts)]
+        names += [f"{std} {last}", f"{nick} {last}"]
+    names += ["ACME OIL CO", "SMITH DRILLING LLC", "JOHNSON ENERGY INC"]
+    names = sorted(set(names))
+
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    out, parts = match_first_name(df, return_parts=True)
+    blocked = {
+        (min(r["name"], r["match"]), max(r["name"], r["match"]))
+        for r in out.select("name", "match").collect()
+    }
+    rows = parts.select("name", "company", "last_name", "first_name").collect()
+    parts.unpersist()
+
+    hum = [
+        (r["name"], r["last_name"], r["first_name"])
+        for r in rows
+        if (not r["company"]) and r["last_name"] is not None
+    ]
+    truth: set = set()
+    cross_surname_same_first = 0
+    for i in range(len(hum)):
+        for j in range(i + 1, len(hum)):
+            if hum[i][1] == hum[j][1]:
+                truth.add(_canon(hum[i][0], hum[j][0]))
+            elif hum[i][2] and hum[i][2] == hum[j][2]:
+                cross_surname_same_first += 1
+    companies_excluded = sum(1 for r in rows if r["company"])
+    return {
+        "guarantee": (
+            "exact over the surname block (independent Python loop over the "
+            "hash-oracled parts table); cross-surname pairs excluded by "
+            "reference design, count reported"
+        ),
+        "universe": len(names),
+        "human_rows": len(hum),
+        "companies_excluded": companies_excluded,
+        "truth_pairs": len(truth),
+        "blocked_pairs": len(blocked),
+        "missed": len(truth - blocked),
+        "extra": len(blocked - truth),
+        "recall": round(len(truth & blocked) / max(len(truth), 1), 6),
+        "cross_surname_same_first_excluded": cross_surname_same_first,
+        "designed_miss_rate": 0.0,
+    }
+
+
+def _canon(a: str, b: str) -> tuple:
+    return (a, b) if a <= b else (b, a)
+
+
 # ---------------------------------------------------------------------------
 # artifact
 # ---------------------------------------------------------------------------
@@ -623,4 +717,5 @@ def run_all(spark: SparkSession, sf_dir: str) -> dict:
         "ann_topk": recall_ann_topk(spark, sf_dir),
         "ivf_topk": recall_ivf_topk(spark, sf_dir),
         "jaro_channel": recall_jaro_channel(spark, sf_dir),
+        "human_channel": recall_human_channel(spark, sf_dir),
     }

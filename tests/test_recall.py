@@ -82,3 +82,18 @@ def test_jaro_channel_blocking_recall(report):
         ve["recall_full_surface_transitive_closure"]
         >= ve["floor_full_surface_closure"]
     )
+
+
+def test_human_channel_blocked_join_exact(report):
+    # the surname-blocked self-join must equal the independent Python
+    # double loop over the (hash-oracled) parts table — catches key
+    # normalization / null-handling / id-tie bugs the mirrored
+    # human_pairs oracle cannot see; companies must be filtered out
+    ch = report["human_channel"]
+    assert ch["truth_pairs"] > 0
+    assert ch["missed"] == 0 and ch["extra"] == 0
+    assert ch["recall"] == 1.0
+    assert ch["companies_excluded"] >= 3
+    # the designed exclusion class is present in the fixture universe
+    # (same first name, different surname) — counted, not asserted empty
+    assert ch["cross_surname_same_first_excluded"] > 0

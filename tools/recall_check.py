@@ -69,6 +69,9 @@ def violations(report: dict) -> list[str]:
         )
     if ch["non_ascii_clean_names"]:
         v.append("jaro truth engine mismatch risk: non-ASCII clean names present")
+    ch = report["human_channel"]
+    if ch["missed"] or ch["extra"]:
+        v.append(f"human_channel surname-blocked join not exact: {ch}")
     return v
 
 
