@@ -191,3 +191,64 @@ def test_shim_coexists_with_other_google_namespace_portions(tmp_path):
         [_sys.executable, "-c", code], capture_output=True, text=True, env=env
     )
     assert r.returncode == 0, r.stderr
+
+
+# ---------------------------------------------------------------------------
+# property tests: wire-format roundtrip stability over adversarial values
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_I32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+_I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    status=_I32,
+    msg=st.text(max_size=40),
+    val=st.binary(max_size=60),
+)
+def test_roundtrip_property_scalars(status, msg, val):
+    m = sm.StateResponse(statusCode=status, errorMessage=msg, value=val)
+    wire = m.SerializeToString()
+    back = sm.StateResponse()
+    back.ParseFromString(wire)
+    assert (back.statusCode, back.errorMessage, back.value) == (status, msg, val)
+    # re-serialization is a fixed point (canonical ordering by field number)
+    assert back.SerializeToString() == wire
+
+
+@settings(max_examples=200, deadline=None)
+@given(ts=_I64)
+def test_roundtrip_property_int64(ts):
+    m = sm.RegisterTimer(expiryTimestampMs=ts)
+    back = sm.RegisterTimer()
+    back.ParseFromString(m.SerializeToString())
+    assert back.expiryTimestampMs == ts
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    timers=st.lists(
+        st.tuples(st.one_of(st.none(), st.binary(max_size=20)), _I64), max_size=8
+    )
+)
+def test_roundtrip_property_repeated_messages(timers):
+    m = sm.StateResponseWithTimer(
+        timer=[
+            sm.TimerInfo(key=k, timestampMs=ts) if k is not None
+            else sm.TimerInfo(timestampMs=ts)
+            for k, ts in timers
+        ]
+    )
+    back = sm.StateResponseWithTimer()
+    back.ParseFromString(m.SerializeToString())
+    assert [(t.key, t.timestampMs) for t in back.timer] == [
+        (k if k is not None else b"", ts) for k, ts in timers
+    ]
+    # proto3_optional presence tracks whether the key was explicitly set
+    assert [t.HasField("key") for t in back.timer] == [
+        k is not None for k, _ in timers
+    ]
