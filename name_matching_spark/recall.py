@@ -43,6 +43,11 @@ from __future__ import annotations
 
 import math
 
+
+def _canon(a: str, b: str) -> tuple:
+    """Unordered-pair canonical form shared by every truth/blocked set."""
+    return (a, b) if a <= b else (b, a)
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -527,7 +532,7 @@ def recall_jaro_channel(
     # human), i.e. what downstream scoring/clustering actually sees
     mres = match_names(truth_clusters.select("name").distinct())
     master = {
-        tuple(sorted((r["name"], r["match"])))
+        _canon(r["name"], r["match"])
         for r in mres.master.select("name", "match").collect()
     }
     mres.release()
@@ -541,7 +546,7 @@ def recall_jaro_channel(
         "name", F.regexp_replace("name", "É", "E")
     )
     addr_pairs = {
-        tuple(sorted((r["name"], r["match"])))
+        _canon(r["name"], r["match"])
         for r in match_addresses(addr).select("name", "match").collect()
     }
     full_surface = master | addr_pairs
@@ -637,7 +642,8 @@ def recall_human_channel(spark: SparkSession, sf_dir: str) -> dict:
     middle-named / nickname forms, plus companies that must be filtered
     out) — the driver tables contain no human names (contract_human.py).
     """
-    from .operators.human import FIRST_NAMES, NICKNAMES, SURNAMES, match_first_name
+    from .constants import FIRST_NAMES, NICKNAMES, SURNAMES
+    from .operators.human import match_first_name
 
     firsts, lasts = list(FIRST_NAMES), list(SURNAMES)
     names: list[str] = []
@@ -660,7 +666,7 @@ def recall_human_channel(spark: SparkSession, sf_dir: str) -> dict:
     df = spark.createDataFrame([(n,) for n in names], ["name"])
     out, parts = match_first_name(df, return_parts=True)
     blocked = {
-        (min(r["name"], r["match"]), max(r["name"], r["match"]))
+        _canon(r["name"], r["match"])
         for r in out.select("name", "match").collect()
     }
     rows = parts.select("name", "company", "last_name", "first_name").collect()
@@ -697,10 +703,6 @@ def recall_human_channel(spark: SparkSession, sf_dir: str) -> dict:
         "cross_surname_same_first_excluded": cross_surname_same_first,
         "designed_miss_rate": 0.0,
     }
-
-
-def _canon(a: str, b: str) -> tuple:
-    return (a, b) if a <= b else (b, a)
 
 
 # ---------------------------------------------------------------------------

@@ -197,8 +197,9 @@ def test_shim_coexists_with_other_google_namespace_portions(tmp_path):
 # property tests: wire-format roundtrip stability over adversarial values
 # ---------------------------------------------------------------------------
 
-from hypothesis import given, settings
-from hypothesis import strategies as st
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
 
 _I32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
 _I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)

@@ -26,9 +26,13 @@ def _repo_root() -> str:
 
 
 def test_spark_submit_pyfiles_resolve_job(tmp_path):
-    spark_submit = shutil.which("spark-submit")
+    spark_submit = shutil.which("spark-submit") or (
+        "/opt/spark/bin/spark-submit"
+        if os.path.exists("/opt/spark/bin/spark-submit")
+        else None
+    )
     if spark_submit is None:
-        pytest.skip("spark-submit not on PATH")
+        pytest.skip("spark-submit not found (PATH or /opt/spark/bin)")
     repo = _repo_root()
 
     # the deployment artifact: the package at the zip root, py files only
@@ -87,9 +91,11 @@ def test_spark_submit_pyfiles_resolve_job(tmp_path):
         line = line.strip()
         if line.startswith("{"):
             try:
-                summary = json.loads(line)
+                doc = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            if isinstance(doc, dict) and "clusters_rows" in doc:
+                summary = doc
     assert summary is not None, r.stdout[-2000:]
     assert summary["clusters_rows"] > 0
     assert summary["stages"]  # per-stage lineage recorded

@@ -16,6 +16,21 @@ def main(argv: list[str]) -> int:
             doc = json.load(f)
         runs.extend(doc["runs"])
     med = lambda k: round(statistics.median(r[k] for r in runs), 3)  # noqa: E731
+    # A DRAM bracket is only meaningful when the streaming measurement
+    # itself behaved physically: aggregate bandwidth is monotone in procs
+    # on this box (more streams never reduce aggregate DRAM throughput)
+    # and cannot scale super-linearly 8->32 (envelope > 1). An inversion
+    # means a transient load spike contaminated one 4 s sample — the
+    # bracket, not the kernel, is wrong (one such run posted "algorithmic
+    # efficiency" 2.8, i.e. the kernel "beat" a depressed ceiling 2.8x).
+    # Invalid brackets stay recorded in `runs` but are excluded from the
+    # envelope-derived medians; raw efficiencies use every run.
+    def _bracket_ok(r):
+        bw2, bw8, bw32 = r["dram_gbps_2_8_32"]
+        return bw2 <= bw8 <= bw32 and 0.0 < r["envelope_8_to_32"] <= 1.0
+
+    valid = [r for r in runs if _bracket_ok(r)]
+    med_v = lambda k: round(statistics.median(r[k] for r in valid), 3)  # noqa: E731
     merged = {
         "metric": "scaling_efficiency_8_to_32_median",
         "value": med("efficiency_8_to_32"),
@@ -26,15 +41,17 @@ def main(argv: list[str]) -> int:
         "median_pairs_per_sec_local32": med("pairs_per_sec_local32"),
         "median_efficiency_2_to_8": med("efficiency_2_to_8"),
         "median_efficiency_8_to_32": med("efficiency_8_to_32"),
-        "median_dram_envelope_8_to_32": med("envelope_8_to_32"),
-        "median_algorithmic_efficiency_8_to_32": med(
+        "n_valid_envelope_brackets": len(valid),
+        "median_dram_envelope_8_to_32": med_v("envelope_8_to_32"),
+        "median_algorithmic_efficiency_8_to_32": med_v(
             "algorithmic_efficiency_8_to_32"
         ),
         "gate": {
             "threshold": 0.8,
             "met_2_to_8": med("efficiency_2_to_8") >= 0.8,
             "met_8_to_32": med("efficiency_8_to_32") >= 0.8,
-            "met_8_to_32_vs_envelope": med("algorithmic_efficiency_8_to_32") >= 0.8,
+            "met_8_to_32_vs_envelope": med_v("algorithmic_efficiency_8_to_32")
+            >= 0.8,
         },
         "runs": runs,
         "note": (
@@ -48,7 +65,12 @@ def main(argv: list[str]) -> int:
             "regime a real 4N-executor cluster is always in: each executor "
             "brings its own memory controllers); the 8->32 cell is bounded "
             "by the measured DRAM envelope and the noop-scorer transport "
-            "ceiling (see BENCH/BASELINE.md)."
+            "ceiling (see BENCH/BASELINE.md). Envelope-derived medians use "
+            "only runs whose DRAM bracket is physically valid (aggregate "
+            "streaming bandwidth monotone in procs, envelope <= 1); "
+            "invalid brackets — a transient load spike during one 4 s "
+            "streaming sample — remain recorded in `runs` but carry no "
+            "envelope information."
         ),
     }
     with open(out_path, "w") as f:
